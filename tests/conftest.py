@@ -1,0 +1,21 @@
+"""Test configuration.
+
+Device kernels are tested on CPU-jax with a virtual 8-device mesh
+(XLA_FORCE_HOST_PLATFORM_DEVICE_COUNT), mirroring how the reference sweeps
+parallel_fft against serial_fft on one machine
+(/root/reference/src/domain.rs:465-498). Real-TPU runs happen in bench.py.
+
+This must run before any jax import.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

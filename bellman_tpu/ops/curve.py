@@ -1,0 +1,253 @@
+"""Device elliptic-curve point arithmetic: branchless Jacobian add/double.
+
+TPU-native replacement for the `group` crate the reference leans on
+(SURVEY.md §2.3): batched G1 (over Fq) and G2 (over Fq2) Jacobian point
+operations as vectorized limb arithmetic. The exceptional cases the Rust
+curve crate handles with branches (P = Q, P = -Q, infinities —
+SURVEY.md §7 "hard parts" #3) are resolved with lane masks: both the
+generic addition and the doubling are computed and the result is
+selected per lane.
+
+Point representation: a tuple (X, Y, Z) of field-element arrays (each
+(coeff..., *batch) uint32 Montgomery limbs); infinity is encoded Z = 0.
+Formulas: add-2007-bl and dbl-2009-l (a = 0 short Weierstrass), which
+never divide, so the whole MSM pipeline runs inversion-free; conversion
+to affine happens once at the end via Montgomery batch inversion.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import limbs
+from .limbs import FieldOps, Fq2Ops
+
+
+class CurveOps:
+    """Jacobian point ops over a FieldOps bundle (works for Fq and Fq2)."""
+
+    def __init__(self, fops: FieldOps):
+        self.f = fops
+
+    # -- constructors -------------------------------------------------------
+    def infinity(self, batch):
+        f = self.f
+        return (f.one(batch), f.one(batch), f.zeros(batch))
+
+    def from_affine(self, x, y, inf_mask=None):
+        """Affine (x, y) -> Jacobian; inf_mask marks identity lanes."""
+        f = self.f
+        batch = x.shape[len(f.coeff_shape):]
+        z = f.one(batch)
+        if inf_mask is not None:
+            z = f.select(inf_mask, f.zeros(batch), z)
+        return (x, y, z)
+
+    def is_identity(self, p):
+        return self.f.is_zero(p[2])
+
+    def select(self, mask, p, q):
+        f = self.f
+        return tuple(f.select(mask, a, b) for a, b in zip(p, q))
+
+    # -- group law ----------------------------------------------------------
+    def double(self, p):
+        """dbl-2009-l (a=0): 2M + 5S + 6add. Identity doubles to identity
+        (Z=0 propagates through Z3 = 2*Y1*Z1)."""
+        f = self.f
+        X1, Y1, Z1 = p
+        A = f.sqr(X1)
+        B = f.sqr(Y1)
+        C = f.sqr(B)
+        t = f.sqr(f.add(X1, B))
+        D = f.add(t, f.neg(f.add(A, C)))
+        D = f.add(D, D)
+        E = f.add(f.add(A, A), A)
+        F = f.sqr(E)
+        X3 = f.sub(F, f.add(D, D))
+        eight_c = f.add(C, C)
+        eight_c = f.add(eight_c, eight_c)
+        eight_c = f.add(eight_c, eight_c)
+        Y3 = f.sub(f.mul(E, f.sub(D, X3)), eight_c)
+        yz = f.mul(Y1, Z1)
+        Z3 = f.add(yz, yz)
+        return (X3, Y3, Z3)
+
+    def add(self, p, q):
+        """Full branchless Jacobian addition (add-2007-bl + masked
+        special cases)."""
+        f = self.f
+        X1, Y1, Z1 = p
+        X2, Y2, Z2 = q
+        p_inf = f.is_zero(Z1)
+        q_inf = f.is_zero(Z2)
+
+        Z1Z1 = f.sqr(Z1)
+        Z2Z2 = f.sqr(Z2)
+        U1 = f.mul(X1, Z2Z2)
+        U2 = f.mul(X2, Z1Z1)
+        S1 = f.mul(f.mul(Y1, Z2), Z2Z2)
+        S2 = f.mul(f.mul(Y2, Z1), Z1Z1)
+        H = f.sub(U2, U1)
+        rr = f.sub(S2, S1)
+        h_zero = f.is_zero(H)
+        r_zero = f.is_zero(rr)
+
+        # generic addition
+        two_h = f.add(H, H)
+        I = f.sqr(two_h)
+        J = f.mul(H, I)
+        V = f.mul(U1, I)
+        r2 = f.add(rr, rr)
+        X3 = f.sub(f.sqr(r2), f.add(J, f.add(V, V)))
+        s1j = f.mul(S1, J)
+        Y3 = f.sub(f.mul(r2, f.sub(V, X3)), f.add(s1j, s1j))
+        zz = f.sqr(f.add(Z1, Z2))
+        Z3 = f.mul(f.sub(zz, f.add(Z1Z1, Z2Z2)), H)
+        res = (X3, Y3, Z3)
+
+        # doubled P where H == 0 and r == 0 (P == Q)
+        dbl = self.double(p)
+        both = ~p_inf & ~q_inf
+        res = self.select(both & h_zero & r_zero, dbl, res)
+        # P == -Q -> infinity
+        batch = jnp.broadcast_shapes(p_inf.shape, q_inf.shape)
+        inf = self.infinity(batch)
+        res = self.select(both & h_zero & ~r_zero, inf, res)
+        # identities
+        res = self.select(p_inf & ~q_inf, q, res)
+        res = self.select(q_inf & ~p_inf, p, res)
+        res = self.select(p_inf & q_inf, inf, res)
+        return res
+
+    # -- helpers ------------------------------------------------------------
+    def scale_by_int(self, p, k: int):
+        """p * k for a small host integer k (double-and-add, unrolled)."""
+        if k == 0:
+            batch = p[2].shape[len(self.f.coeff_shape):]
+            return self.infinity(batch)
+        bits = bin(k)[3:]  # skip leading 1
+        acc = p
+        for b in bits:
+            acc = self.double(acc)
+            if b == "1":
+                acc = self.add(acc, p)
+        return acc
+
+    def tree_reduce(self, p):
+        """Sum all points along the LAST (batch) axis via pairwise folds.
+
+        p: point with batch (..., n); returns point with batch (..., 1).
+        """
+        n = p[2].shape[-1]
+        while n > 1:
+            half = n // 2
+            if n % 2:
+                lo = tuple(c[..., : half + 1] for c in p)
+                hi = tuple(
+                    jnp.concatenate(
+                        [c[..., half + 1 :], self.infinity(c.shape[len(self.f.coeff_shape):-1] + (1,))[i]],
+                        axis=-1,
+                    )
+                    for i, c in enumerate(p)
+                )
+                p = self.add(lo, hi)
+                n = half + 1
+            else:
+                lo = tuple(c[..., :half] for c in p)
+                hi = tuple(c[..., half:] for c in p)
+                p = self.add(lo, hi)
+                n = half
+        return p
+
+
+# ---------------------------------------------------------------------------
+# Host <-> device marshalling for the concrete BLS12-381 groups
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def g1_ops() -> CurveOps:
+    return CurveOps(FieldOps(limbs.spec_for("bls_fq")))
+
+
+@functools.lru_cache(maxsize=None)
+def g2_ops() -> CurveOps:
+    return CurveOps(Fq2Ops(limbs.spec_for("bls_fq")))
+
+
+@functools.lru_cache(maxsize=None)
+def dummy_ops() -> CurveOps:
+    """The DummyEngine 'curve': G = F_64513 additive. Implemented as a
+    degenerate CurveOps-compatible shim in ops.msm (scalars, not points);
+    this placeholder exists so callers can dispatch uniformly."""
+    raise NotImplementedError
+
+
+def g1_to_device(points) -> tuple:
+    """Host G1Affine list -> device Jacobian point batch (Montgomery)."""
+    ops = g1_ops()
+    spec = ops.f.spec
+    xs, ys, infs = [], [], []
+    for pt in points:
+        if pt.is_identity():
+            xs.append(0)
+            ys.append(1)
+            infs.append(True)
+        else:
+            xs.append(int(pt.x))
+            ys.append(int(pt.y))
+            infs.append(False)
+    x = jnp.asarray(spec.to_mont_host(xs))
+    y = jnp.asarray(spec.to_mont_host(ys))
+    inf = jnp.asarray(np.array(infs))
+    return ops.from_affine(x, y, inf)
+
+
+def g2_to_device(points) -> tuple:
+    ops = g2_ops()
+    f = ops.f
+    xs, ys, infs = [], [], []
+    for pt in points:
+        if pt.is_identity():
+            xs.append((0, 0))
+            ys.append((1, 0))
+            infs.append(True)
+        else:
+            xs.append((int(pt.x.c0), int(pt.x.c1)))
+            ys.append((int(pt.y.c0), int(pt.y.c1)))
+            infs.append(False)
+    x = jnp.asarray(f.to_mont_host(xs))
+    y = jnp.asarray(f.to_mont_host(ys))
+    inf = jnp.asarray(np.array(infs))
+    return ops.from_affine(x, y, inf)
+
+
+def jacobian_to_host(ops: CurveOps, p, point_cls):
+    """Device Jacobian batch -> host affine points (host inversion).
+
+    point_cls: host G1Affine / G2Affine class (FIELD is Fq or Fq2)."""
+    f = ops.f
+    xs = f.from_mont_host(p[0])
+    ys = f.from_mont_host(p[1])
+    zs = f.from_mont_host(p[2])
+    fld = point_cls.FIELD
+
+    def wrap(v):
+        return fld(*v) if isinstance(v, tuple) else fld(v)
+
+    out = []
+    for x, y, z in zip(xs, ys, zs):
+        ze = wrap(z)
+        if ze.is_zero():
+            out.append(point_cls.identity())
+            continue
+        zinv = ze.invert()
+        zinv2 = zinv.square()
+        xe, ye = wrap(x), wrap(y)
+        out.append(point_cls(xe * zinv2, ye * zinv2 * zinv))
+    return out

@@ -1,0 +1,242 @@
+"""TPU Groth16 prover: the h-pipeline + 8-MSM schedule on device.
+
+Runs the exact prover schedule of /root/reference/groth16/src/prover.rs:
+182-361 — witness synthesis host-side (it is serial in the reference
+too), then the QAP quotient h(x) via 7 device FFT passes, then the 8
+multi-scalar multiplications (h, l, a_inputs, a_aux, b_g1_inputs,
+b_g1_aux, b_g2_inputs, b_g2_aux) as device Pippenger kernels, with
+density-filtered queries compacted host-side (the Source::skip semantics
+of /root/reference/src/multiexp.rs:26-31). Proofs are bit-identical to
+the host oracle (and hence to the reference's serialization format).
+
+Engine backends:
+* ``BlsBackend`` — BLS12-381: G1/G2 limb-vector Jacobian kernels.
+* ``DummyBackend`` — the F_64513 mock engine; the "MSM" is a device
+  inner product, which exercises the full device pipeline in tests at
+  toy scale (the reference's DummyEngine trick, SURVEY.md §4).
+
+XLA dispatch is asynchronous, so the 8 MSM kernel launches overlap
+naturally — the host blocks only when proof assembly pulls the 8 result
+points, mirroring the reference's Waiter futures
+(/root/reference/src/multicore.rs:33-76).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..algebra import bls12_381 as bls
+from ..algebra.engine import DummyEngine, Bls12_381Engine, DummyG
+from ..r1cs import UnexpectedIdentity
+from ..groth16.types import Proof
+from ..groth16.prover import synthesize_for_proving
+from . import curve, fft, limbs, msm
+
+
+class BlsBackend:
+    engine = Bls12_381Engine
+    fr_spec = limbs.spec_for("bls_fr")
+
+    def upload_g1(self, points):
+        for p in points:
+            if p.is_identity():
+                raise UnexpectedIdentity("identity base in multiexp")
+        return curve.g1_to_device(points)
+
+    def upload_g2(self, points):
+        for p in points:
+            if p.is_identity():
+                raise UnexpectedIdentity("identity base in multiexp")
+        return curve.g2_to_device(points)
+
+    def slice_bases(self, dev, start, stop):
+        return tuple(c[..., start:stop] for c in dev)
+
+    def msm_g1(self, bases_dev, exp_limbs):
+        return msm.msm(curve.g1_ops(), bases_dev, exp_limbs)
+
+    def msm_g2(self, bases_dev, exp_limbs):
+        return msm.msm(curve.g2_ops(), bases_dev, exp_limbs)
+
+    def msm_g1_to_host(self, result):
+        return curve.jacobian_to_host(curve.g1_ops(), result, bls.G1Affine)[0]
+
+    def msm_g2_to_host(self, result):
+        return curve.jacobian_to_host(curve.g2_ops(), result, bls.G2Affine)[0]
+
+
+class DummyBackend:
+    engine = DummyEngine
+    fr_spec = limbs.FieldSpec("dummy", 64513)
+
+    def upload_g1(self, points):
+        for p in points:
+            if p.is_identity():
+                raise UnexpectedIdentity("identity base in multiexp")
+        return jnp.asarray(self.fr_spec.to_mont_host([int(p.v) for p in points]))
+
+    upload_g2 = upload_g1
+
+    def slice_bases(self, dev, start, stop):
+        return dev[..., start:stop]
+
+    def _msm(self, bases_dev, exp_limbs):
+        exps_mont = limbs.to_mont(self.fr_spec, exp_limbs)
+        return msm.dummy_inner_product(self.fr_spec, bases_dev, exps_mont)
+
+    msm_g1 = _msm
+    msm_g2 = _msm
+
+    def _to_host(self, result):
+        return DummyG(self.fr_spec.from_mont_host(result)[0])
+
+    msm_g1_to_host = _to_host
+    msm_g2_to_host = _to_host
+
+
+_BACKENDS = {}
+
+
+def get_backend(engine):
+    b = _BACKENDS.get(engine.name)
+    if b is None:
+        b = DummyBackend() if engine.name == "dummy" else BlsBackend()
+        _BACKENDS[engine.name] = b
+    return b
+
+
+class DeviceParameters:
+    """CRS resident on device: upload once, prove many times.
+
+    Exposes the ParameterSource splitting semantics
+    (/root/reference/groth16/src/lib.rs:411-474)."""
+
+    def __init__(self, engine, params, backend=None):
+        self.engine = engine
+        self.backend = backend or get_backend(engine)
+        self.vk = params.vk
+        b = self.backend
+        self.h = b.upload_g1(params.h)
+        self.n_h = len(params.h)
+        self.l = b.upload_g1(params.l)
+        self.a = b.upload_g1(params.a)
+        self.b_g1 = b.upload_g1(params.b_g1)
+        self.b_g2 = b.upload_g2(params.b_g2)
+
+    def get_vk(self, _num_ic):
+        return self.vk
+
+
+def _compact(assignment, density):
+    """Host-side density filtering: the exponents whose density bit is
+    set, as plain ints."""
+    return [int(v) for v, bit in zip(assignment, density.bv) if bit]
+
+
+def create_proof_on_device(engine, circuit, params: DeviceParameters, r, s):
+    """Device-accelerated create_proof; bit-identical to the host oracle
+    (groth16.prover.create_proof)."""
+    backend = params.backend
+    field = engine.Fr
+    spec = backend.fr_spec
+    prover = synthesize_for_proving(engine, circuit)
+
+    vk = params.get_vk(len(prover.input_assignment))
+    if vk.delta_g1.is_identity() or vk.delta_g2.is_identity():
+        raise UnexpectedIdentity("delta is the identity; CRS is subverted")
+
+    # -- h(x) on device ------------------------------------------------------
+    m = len(prover.a)
+    exp = (m - 1).bit_length() if m > 1 else 0
+    n = 1 << exp
+    plan = fft.get_plan(spec, field, exp)
+
+    def dev_scalars(vals, pad_to):
+        arr = spec.to_limbs([int(v) for v in vals])
+        if arr.shape[1] < pad_to:
+            arr = np.pad(arr, ((0, 0), (0, pad_to - arr.shape[1])))
+        return limbs.to_mont(spec, jnp.asarray(arr))
+
+    da = dev_scalars(prover.a, n)
+    db = dev_scalars(prover.b, n)
+    dc = dev_scalars(prover.c, n)
+    h_mont = fft.h_pipeline(plan, da, db, dc)
+    h_plain = limbs.from_mont(spec, h_mont)[:, : n - 1]  # drop top coeff
+
+    # -- the 8 MSMs (async dispatch; host blocks at assembly) ---------------
+    num_inputs = len(prover.input_assignment)
+    input_ints = [int(v) for v in prover.input_assignment]
+    aux_ints = [int(v) for v in prover.aux_assignment]
+
+    bk = backend
+    if n > 1:
+        h_bases = bk.slice_bases(params.h, 0, n - 1)
+        h_res = bk.msm_g1(h_bases, h_plain)
+    else:
+        h_res = None
+
+    l_res = (
+        bk.msm_g1(params.l, jnp.asarray(spec.to_limbs(aux_ints)))
+        if aux_ints
+        else None
+    )
+
+    a_aux_exp = _compact(prover.aux_assignment, prover.a_aux_density)
+    a_in = bk.slice_bases(params.a, 0, num_inputs)
+    a_aux = bk.slice_bases(params.a, num_inputs, num_inputs + len(a_aux_exp))
+    a_in_res = bk.msm_g1(a_in, jnp.asarray(spec.to_limbs(input_ints)))
+    a_aux_res = (
+        bk.msm_g1(a_aux, jnp.asarray(spec.to_limbs(a_aux_exp)))
+        if a_aux_exp
+        else None
+    )
+
+    b_in_exp = _compact(prover.input_assignment, prover.b_input_density)
+    b_aux_exp = _compact(prover.aux_assignment, prover.b_aux_density)
+    nb_in = len(b_in_exp)
+
+    def b_msm(bases, fn):
+        b_in = bk.slice_bases(bases, 0, nb_in)
+        b_aux = bk.slice_bases(bases, nb_in, nb_in + len(b_aux_exp))
+        r_in = fn(b_in, jnp.asarray(spec.to_limbs(b_in_exp))) if b_in_exp else None
+        r_aux = fn(b_aux, jnp.asarray(spec.to_limbs(b_aux_exp))) if b_aux_exp else None
+        return r_in, r_aux
+
+    b1_in_res, b1_aux_res = b_msm(params.b_g1, bk.msm_g1)
+    b2_in_res, b2_aux_res = b_msm(params.b_g2, bk.msm_g2)
+
+    # -- proof assembly (host; first blocking pulls) -------------------------
+    G1, G2 = engine.G1, engine.G2
+
+    def pull_g1(res):
+        return bk.msm_g1_to_host(res) if res is not None else G1.identity()
+
+    def pull_g2(res):
+        return bk.msm_g2_to_host(res) if res is not None else G2.identity()
+
+    h_pt = pull_g1(h_res)
+    l_pt = pull_g1(l_res)
+    a_answer = pull_g1(a_in_res) + pull_g1(a_aux_res)
+    b1_answer = pull_g1(b1_in_res) + pull_g1(b1_aux_res)
+    b2_answer = pull_g2(b2_in_res) + pull_g2(b2_aux_res)
+
+    g_a = vk.delta_g1.mul_int(int(r)) + vk.alpha_g1 + a_answer
+    g_b = vk.delta_g2.mul_int(int(s)) + vk.beta_g2 + b2_answer
+    g_c = (
+        vk.delta_g1.mul_int(int(r * s))
+        + vk.alpha_g1.mul_int(int(s))
+        + vk.beta_g1.mul_int(int(r))
+        + a_answer.mul_int(int(s))
+        + b1_answer.mul_int(int(r))
+        + h_pt
+        + l_pt
+    )
+    return Proof(a=g_a, b=g_b, c=g_c)
+
+
+def create_random_proof_on_device(engine, circuit, params, rng):
+    r = engine.Fr(rng.randrange(engine.Fr.MODULUS))
+    s = engine.Fr(rng.randrange(engine.Fr.MODULUS))
+    return create_proof_on_device(engine, circuit, params, r, s)

@@ -211,3 +211,25 @@ def test_zero_coeff(one_var):
     pf = create_proof(DummyEngine, m, pk, FrD(27134), FrD(17146))
     pvk = prepare_verifying_key(DummyEngine, pk.vk)
     verify_proof(pvk, pf, [])
+
+
+def test_xordemo_device_prover_matches_golden():
+    """The DEVICE prover (h-pipeline FFTs + MSM kernels) reproduces the
+    reference's pinned proof bit-for-bit (tests/mod.rs:274-370)."""
+    from bellman_tpu.ops.prover import DeviceParameters, create_proof_on_device
+
+    params = _params()
+    dev_params = DeviceParameters(DummyEngine, params)
+    r = FrD(27134)
+    s = FrD(17146)
+    host_proof = create_proof(DummyEngine, XorDemo(a=True, b=False), params, r, s)
+    dev_proof = create_proof_on_device(
+        DummyEngine, XorDemo(a=True, b=False), dev_params, r, s
+    )
+    assert dev_proof.to_bytes() == host_proof.to_bytes()
+
+    u_i = [FrD(x) for x in (59158, 48317, 21767, 10402)]
+    expected_a = DELTA * r + ALPHA + u_i[0] + u_i[1] + u_i[2]
+    assert dev_proof.a == DummyG(expected_a)
+    pvk = prepare_verifying_key(DummyEngine, params.vk)
+    verify_proof(pvk, dev_proof, [FrD.one()])

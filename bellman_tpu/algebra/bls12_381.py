@@ -805,7 +805,22 @@ def final_exponentiation(f: Fq12) -> Fq12:
     return f2.pow(h)
 
 
+def _native():
+    """The C++ pairing library (bellman_tpu.native), or None."""
+    try:
+        from .. import native
+
+        if native.available():
+            return native
+    except Exception:  # noqa: BLE001 - pure-Python fallback
+        pass
+    return None
+
+
 def pairing(p: G1Affine, q: G2Affine) -> Fq12:
+    nat = _native()
+    if nat is not None:
+        return nat.pairing(p, q)
     return final_exponentiation(miller_loop(p, q))
 
 
@@ -823,10 +838,17 @@ class MillerLoopResult:
         return MillerLoopResult(self.value * other.value)
 
     def final_exponentiation(self) -> Fq12:
+        nat = _native()
+        if nat is not None:
+            return nat.final_exponentiation(self.value)
         return final_exponentiation(self.value)
 
 
 def multi_miller_loop(pairs) -> MillerLoopResult:
+    pairs = list(pairs)
+    nat = _native()
+    if nat is not None:
+        return MillerLoopResult(nat.multi_miller_loop(pairs))
     acc = Fq12.one()
     for (p, q) in pairs:
         acc = acc * miller_loop(p, q)

@@ -123,6 +123,8 @@ class DummyEngine:
     def gt_one():
         return FrD.zero()  # Gt is additive: identity is 0
 
+    gt_identity = gt_one
+
     @staticmethod
     def miller_loop(p: DummyG, q: DummyG):
         return _DummyMillerResult(p.v * q.v)
@@ -148,6 +150,8 @@ class Bls12_381Engine:
     @staticmethod
     def gt_one():
         return bls.Fq12.one()
+
+    gt_identity = gt_one
 
     @staticmethod
     def miller_loop(p, q):

@@ -54,64 +54,103 @@ class CurveOps:
         f = self.f
         return tuple(f.select(mask, a, b) for a, b in zip(p, q))
 
+    # -- batched field-op helpers (fewer, wider multiply graphs: smaller
+    #    traces/compiles AND better vector-unit utilization) ----------------
+    def _mul_many(self, xs, ys):
+        n = xs[0].shape[-1]
+        z = self.f.mul(
+            jnp.concatenate(xs, axis=-1), jnp.concatenate(ys, axis=-1)
+        )
+        return [z[..., i * n : (i + 1) * n] for i in range(len(xs))]
+
+    def _sqr_many(self, xs):
+        n = xs[0].shape[-1]
+        z = self.f.sqr(jnp.concatenate(xs, axis=-1))
+        return [z[..., i * n : (i + 1) * n] for i in range(len(xs))]
+
+    def _sub_many(self, xs, ys):
+        n = xs[0].shape[-1]
+        z = self.f.sub(
+            jnp.concatenate(xs, axis=-1), jnp.concatenate(ys, axis=-1)
+        )
+        return [z[..., i * n : (i + 1) * n] for i in range(len(xs))]
+
+    def _add_many(self, xs, ys):
+        n = xs[0].shape[-1]
+        z = self.f.add(
+            jnp.concatenate(xs, axis=-1), jnp.concatenate(ys, axis=-1)
+        )
+        return [z[..., i * n : (i + 1) * n] for i in range(len(xs))]
+
     # -- group law ----------------------------------------------------------
     def double(self, p):
-        """dbl-2009-l (a=0): 2M + 5S + 6add. Identity doubles to identity
-        (Z=0 propagates through Z3 = 2*Y1*Z1)."""
+        """dbl-2009-l (a=0), with the independent multiplies batched.
+        Identity doubles to identity (Z=0 propagates through Z3=2*Y1*Z1)."""
         f = self.f
         X1, Y1, Z1 = p
-        A = f.sqr(X1)
-        B = f.sqr(Y1)
-        C = f.sqr(B)
-        t = f.sqr(f.add(X1, B))
-        D = f.add(t, f.neg(f.add(A, C)))
-        D = f.add(D, D)
+        A, B = self._sqr_many([X1, Y1])
         E = f.add(f.add(A, A), A)
-        F = f.sqr(E)
+        C, T, F = self._sqr_many([B, f.add(X1, B), E])
+        D = f.sub(T, f.add(A, C))
+        D = f.add(D, D)
         X3 = f.sub(F, f.add(D, D))
         eight_c = f.add(C, C)
         eight_c = f.add(eight_c, eight_c)
         eight_c = f.add(eight_c, eight_c)
-        Y3 = f.sub(f.mul(E, f.sub(D, X3)), eight_c)
-        yz = f.mul(Y1, Z1)
+        t2, yz = self._mul_many([E, Y1], [f.sub(D, X3), Z1])
+        Y3 = f.sub(t2, eight_c)
         Z3 = f.add(yz, yz)
         return (X3, Y3, Z3)
 
     def add(self, p, q):
-        """Full branchless Jacobian addition (add-2007-bl + masked
-        special cases)."""
+        """Full branchless Jacobian addition (add-2007-bl + masked special
+        cases); the doubling path is computed alongside and selected per
+        lane, with all independent multiplies batched into 6 wide calls."""
         f = self.f
         X1, Y1, Z1 = p
         X2, Y2, Z2 = q
         p_inf = f.is_zero(Z1)
         q_inf = f.is_zero(Z2)
 
-        Z1Z1 = f.sqr(Z1)
-        Z2Z2 = f.sqr(Z2)
-        U1 = f.mul(X1, Z2Z2)
-        U2 = f.mul(X2, Z1Z1)
-        S1 = f.mul(f.mul(Y1, Z2), Z2Z2)
-        S2 = f.mul(f.mul(Y2, Z1), Z1Z1)
-        H = f.sub(U2, U1)
-        rr = f.sub(S2, S1)
+        # squares batch 1 (add: Z1^2 Z2^2; dbl: X1^2 Y1^2)
+        Z1Z1, Z2Z2, A_d, B_d = self._sqr_many([Z1, Z2, X1, Y1])
+        # muls batch 1
+        U1, U2, YZ2, YZ1 = self._mul_many(
+            [X1, X2, Y1, Y2], [Z2Z2, Z1Z1, Z2, Z1]
+        )
+        # muls batch 2 (add: S1 S2; dbl: Y1*Z1)
+        S1, S2, YZ_d = self._mul_many([YZ2, YZ1, Y1], [Z2Z2, Z1Z1, Z1])
+        H, rr = self._sub_many([U2, S2], [U1, S1])
         h_zero = f.is_zero(H)
         r_zero = f.is_zero(rr)
-
-        # generic addition
-        two_h = f.add(H, H)
-        I = f.sqr(two_h)
-        J = f.mul(H, I)
-        V = f.mul(U1, I)
-        r2 = f.add(rr, rr)
-        X3 = f.sub(f.sqr(r2), f.add(J, f.add(V, V)))
-        s1j = f.mul(S1, J)
-        Y3 = f.sub(f.mul(r2, f.sub(V, X3)), f.add(s1j, s1j))
-        zz = f.sqr(f.add(Z1, Z2))
-        Z3 = f.mul(f.sub(zz, f.add(Z1Z1, Z2Z2)), H)
+        two_h, r2, zsum = self._add_many([H, rr, Z1], [H, rr, Z2])
+        E_d = f.add(f.add(A_d, A_d), A_d)
+        # squares batch 2 (add: I r2^2 (Z1+Z2)^2; dbl: C T F)
+        I, R2SQ, ZZ, C_d, T_d, F_d = self._sqr_many(
+            [two_h, r2, zsum, B_d, f.add(X1, B_d), E_d]
+        )
+        # muls batch 3
+        J, V = self._mul_many([H, I], [I, U1])
+        X3 = f.sub(R2SQ, f.add(J, f.add(V, V)))
+        D_d = f.sub(T_d, f.add(A_d, C_d))
+        D_d = f.add(D_d, D_d)
+        Xd = f.sub(F_d, f.add(D_d, D_d))
+        Zfac = f.sub(ZZ, f.add(Z1Z1, Z2Z2))
+        # muls batch 4
+        t1, S1J, Z3, t2_d = self._mul_many(
+            [r2, S1, Zfac, E_d], [f.sub(V, X3), J, H, f.sub(D_d, Xd)]
+        )
+        Y3 = f.sub(t1, f.add(S1J, S1J))
         res = (X3, Y3, Z3)
 
-        # doubled P where H == 0 and r == 0 (P == Q)
-        dbl = self.double(p)
+        # doubling result (shares batches above)
+        eight_c = f.add(C_d, C_d)
+        eight_c = f.add(eight_c, eight_c)
+        eight_c = f.add(eight_c, eight_c)
+        Yd = f.sub(t2_d, eight_c)
+        Zd = f.add(YZ_d, YZ_d)
+        dbl = (Xd, Yd, Zd)
+
         both = ~p_inf & ~q_inf
         res = self.select(both & h_zero & r_zero, dbl, res)
         # P == -Q -> infinity

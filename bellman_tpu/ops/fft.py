@@ -96,13 +96,10 @@ class DomainPlan:
         zg = (pow(g, self.n, p) - 1) % p
         self.zinv = mont1(pow(zg, -1, p))
         self.bitrev = jnp.asarray(bitrev_indices(exp))
+        self._fft_jits = {}
 
     # -- core transforms (pure functions of (L, n) Montgomery arrays) -------
-    def fft(self, a, inverse: bool = False, scale: bool | None = None):
-        """scale: apply the 1/n factor on inverse transforms (default);
-        distributed callers pass scale=False and apply the global 1/n."""
-        if scale is None:
-            scale = inverse
+    def _fft_impl(self, a, inverse: bool, scale: bool):
         spec, n, log_n = self.spec, self.n, self.exp
         L = spec.L
         a = jnp.take(a, self.bitrev, axis=-1)
@@ -114,17 +111,34 @@ class DomainPlan:
             u = x[:, :, 0, :]
             v = x[:, :, 1, :]
             w = tw[:, ::stride][:, :m]  # omega^(j * n/(2m)), j < m
-            t = limbs.mont_mul(spec, v, w[:, None, :])
+            t = limbs.mont_mul_hot(spec, v, w[:, None, :])
             a = jnp.concatenate(
                 [
-                    limbs.add(spec, u, t)[:, :, None, :],
-                    limbs.sub(spec, u, t)[:, :, None, :],
+                    limbs.add_hot(spec, u, t)[:, :, None, :],
+                    limbs.sub_hot(spec, u, t)[:, :, None, :],
                 ],
                 axis=2,
             ).reshape(L, n)
         if inverse and scale:
-            a = limbs.mont_mul(spec, a, self.minv)
+            a = limbs.mont_mul_hot(spec, a, self.minv)
         return a
+
+    def fft(self, a, inverse: bool = False, scale: bool | None = None):
+        """scale: apply the 1/n factor on inverse transforms (default);
+        distributed callers pass scale=False and apply the global 1/n.
+
+        Eager calls go through a cached per-plan jit; inside an outer
+        trace the pjit inlines."""
+        if scale is None:
+            scale = inverse
+        key = (inverse, scale)
+        fn = self._fft_jits.get(key)
+        if fn is None:
+            fn = jax.jit(
+                functools.partial(self._fft_impl, inverse=inverse, scale=scale)
+            )
+            self._fft_jits[key] = fn
+        return fn(a)
 
     def ifft(self, a):
         return self.fft(a, inverse=True)
@@ -132,6 +146,10 @@ class DomainPlan:
     def distribute_powers(self, a, inverse: bool = False):
         pw = self.ginv_powers if inverse else self.g_powers
         return limbs.mont_mul(self.spec, a, pw)
+
+    def _distribute_powers_r(self, a, inverse: bool = False):
+        pw = self.ginv_powers if inverse else self.g_powers
+        return limbs.mont_mul_kernel(self.spec, a, pw)
 
     def coset_fft(self, a):
         return self.fft(self.distribute_powers(a))
@@ -170,13 +188,21 @@ def h_pipeline(plan: DomainPlan, a, b, c):
     """The QAP quotient h(x) on device, semantics of
     /root/reference/groth16/src/prover.rs:221-241: 3 iFFTs + 3 coset FFTs,
     pointwise a*b - c, coset division by z, icoset-FFT; the caller drops
-    the highest coefficient. Inputs/outputs (L, n) Montgomery."""
+    the highest coefficient. Inputs/outputs (L, n) Montgomery.
+
+    The pointwise middle runs as a fused Pallas VMEM kernel on TPU
+    (one pass instead of three) when the domain is tile-aligned."""
     a = plan.coset_fft(plan.ifft(a))
     b = plan.coset_fft(plan.ifft(b))
     c = plan.coset_fft(plan.ifft(c))
-    ab = plan.mul_pointwise(a, b)
-    ab = plan.sub_pointwise(ab, c)
-    ab = plan.divide_by_z_on_coset(ab)
+    from . import pallas_kernels as pk
+
+    if pk.enabled() and plan.n % pk.TILE_N == 0:
+        ab = pk.h_pointwise(plan.spec, a, b, c, zinv=plan.zinv)
+    else:
+        ab = plan.mul_pointwise(a, b)
+        ab = plan.sub_pointwise(ab, c)
+        ab = plan.divide_by_z_on_coset(ab)
     return plan.icoset_fft(ab)
 
 

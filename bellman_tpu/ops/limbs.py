@@ -119,12 +119,42 @@ def _propagate(t):
     return out
 
 
-def _cond_sub_p(spec: FieldSpec, t):
+def _propagate_unrolled(t):
+    """Carry propagation with a static Python loop (Pallas-lowerable)."""
+    L = t.shape[0]
+    outs = []
+    carry = jnp.zeros(t.shape[1:], dtype=jnp.uint32)
+    for j in range(L):
+        cur = t[j] + carry
+        outs.append(cur & MASK)
+        carry = cur >> W
+    return jnp.stack(outs)
+
+
+def _cond_sub_p_unrolled(spec: FieldSpec, t, p):
+    p32 = p.reshape(spec.L).astype(jnp.int32)
+    borrow = jnp.zeros(t.shape[1:], dtype=jnp.int32)
+    subs = []
+    for j in range(spec.L):
+        cur = t[j].astype(jnp.int32) - p32[j] - borrow
+        neg = (cur < 0).astype(jnp.int32)
+        subs.append((cur + (neg << W)).astype(jnp.uint32))
+        borrow = neg
+    sub = jnp.stack(subs)
+    keep = borrow != 0
+    return jnp.where(keep[None], t, sub)
+
+
+def _cond_sub_p(spec: FieldSpec, t, p=None):
     """Conditionally subtract p: returns t mod p given t in [0, 2p).
 
-    t: (L, *batch) with limbs < 2^W.
+    t: (L, *batch) with limbs < 2^W. ``p`` may be passed explicitly
+    (Pallas kernels thread it as an input ref to avoid constant capture).
     """
-    p = jnp.asarray(spec.p_limbs, dtype=jnp.int32)
+    if p is None:
+        p = spec.p_limbs.astype(np.int32)  # numpy: inlined as a literal
+    else:
+        p = p.reshape(spec.L).astype(jnp.int32)
 
     def body(borrow, args):
         tj, pj = args
@@ -144,15 +174,20 @@ def _cond_sub_p(spec: FieldSpec, t):
 # ---------------------------------------------------------------------------
 
 
-def add_r(spec: FieldSpec, a, b):
+def add_r(spec: FieldSpec, a, b, p=None):
     """a + b mod p. Limbs < 2^W in, < 2^W out."""
     s = _propagate(a + b)
-    return _cond_sub_p(spec, s)
+    return _cond_sub_p(spec, s, p)
 
 
-def sub_r(spec: FieldSpec, a, b):
+def sub_r(spec: FieldSpec, a, b, p=None):
     """a - b mod p."""
-    p = jnp.asarray(spec.p_limbs, dtype=jnp.int32)
+    pi = p
+    p = (
+        spec.p_limbs.astype(np.int32)
+        if pi is None
+        else pi.reshape(spec.L).astype(jnp.int32)
+    )
     shape = jnp.broadcast_shapes(a.shape, b.shape)
     a = jnp.broadcast_to(a, shape)
     b = jnp.broadcast_to(b, shape)
@@ -166,7 +201,7 @@ def sub_r(spec: FieldSpec, a, b):
 
     carry0 = jnp.zeros(shape[1:], dtype=jnp.int32)
     _, out = jax.lax.scan(body, carry0, (a, b, pb))
-    return _cond_sub_p(spec, out)
+    return _cond_sub_p(spec, out, pi)
 
 
 def neg_r(spec: FieldSpec, a):
@@ -179,7 +214,67 @@ def double_r(spec: FieldSpec, a):
     return add_r(spec, a, a)
 
 
-def mont_mul_r(spec: FieldSpec, a, b):
+def mont_mul_kernel(spec: FieldSpec, a, b, p=None):
+    """mont_mul with static loops only: flat vector ops XLA can fuse
+    (the lax.scan variant runs ~50 sequential while-iterations per mul,
+    whose loop overhead dominates on TPU) and the only form Mosaic can
+    lower inside Pallas kernels. This is the DEFAULT for hot paths."""
+    L = spec.L
+    if p is None:
+        p = spec.p_limbs.reshape(L, 1)
+    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    b = jnp.broadcast_to(b, (L,) + batch)
+    ninv = jnp.uint32(spec.ninv)
+    pu = p.reshape((L,) + (1,) * len(batch)).astype(jnp.uint32)
+    # static slice+concat instead of scatter-add (Mosaic has no scatter)
+    t = jnp.zeros((L + 2,) + batch, dtype=jnp.uint32)
+
+    def acc(t, vec):
+        lo = t[:L] + (vec & MASK)
+        mid = jnp.concatenate([lo[1:], t[L : L + 1]], axis=0) + (vec >> W)
+        return jnp.concatenate([lo[:1], mid, t[L + 1 :]], axis=0)
+
+    for i in range(L):
+        t = acc(t, a[i][None] * b)
+        m = (t[0] * ninv) & MASK
+        t = acc(t, m[None] * pu)
+        carry = t[0] >> W
+        head = (t[1] + carry)[None]
+        t = jnp.concatenate(
+            [head, t[2:], jnp.zeros((1,) + batch, dtype=jnp.uint32)], axis=0
+        )
+    t = _propagate_unrolled(t)[:L]
+    return _cond_sub_p_unrolled(spec, t, p)
+
+
+def sub_kernel(spec: FieldSpec, a, b, p=None):
+    """sub with static loops only (flat/fusable; Pallas-lowerable)."""
+    if p is None:
+        p = spec.p_limbs.reshape(spec.L, 1)
+    p32 = p.reshape(spec.L).astype(jnp.int32)
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    a = jnp.broadcast_to(a, shape)
+    b = jnp.broadcast_to(b, shape)
+    carry = jnp.zeros(shape[1:], dtype=jnp.int32)
+    outs = []
+    for j in range(spec.L):
+        cur = a[j].astype(jnp.int32) + p32[j] - b[j].astype(jnp.int32) + carry
+        outs.append((cur & MASK).astype(jnp.uint32))
+        carry = cur >> W
+    return _cond_sub_p_unrolled(spec, jnp.stack(outs), p)
+
+
+def add_kernel(spec: FieldSpec, a, b, p=None):
+    if p is None:
+        p = spec.p_limbs.reshape(spec.L, 1)
+    return _cond_sub_p_unrolled(spec, _propagate_unrolled(a + b), p)
+
+
+def neg_kernel(spec: FieldSpec, a, p=None):
+    return sub_kernel(spec, jnp.zeros_like(a), a, p)
+
+
+def mont_mul_r(spec: FieldSpec, a, b, p=None):
     """Montgomery product a*b*R^-1 mod p via lazy-carry CIOS.
 
     a, b: (L, *batch) uint32 Montgomery-form arrays (broadcastable batch).
@@ -188,8 +283,11 @@ def mont_mul_r(spec: FieldSpec, a, b):
     batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
     b = jnp.broadcast_to(b, (L,) + batch)
     ninv = jnp.uint32(spec.ninv)
-    p = jnp.asarray(spec.p_limbs, dtype=jnp.uint32).reshape(
-        (L,) + (1,) * len(batch)
+    pw = p
+    p = (
+        spec.p_limbs.reshape((L,) + (1,) * len(batch))  # numpy literal
+        if pw is None
+        else pw.reshape((L,) + (1,) * len(batch)).astype(jnp.uint32)
     )
 
     def body(t, ai):
@@ -211,7 +309,7 @@ def mont_mul_r(spec: FieldSpec, a, b):
     t0 = jnp.zeros((L + 2,) + batch, dtype=jnp.uint32)
     t, _ = jax.lax.scan(body, t0, a, unroll=spec.mul_unroll)
     t = _propagate(t)[:L]  # value < 2p < 2^(W*L): top limbs vanish
-    return _cond_sub_p(spec, t)
+    return _cond_sub_p(spec, t, pw)
 
 
 def square_r(spec: FieldSpec, a):
@@ -310,6 +408,46 @@ def batch_inv_r(spec: FieldSpec, x):
 
 
 # ---------------------------------------------------------------------------
+# Hot-path dispatch: the unrolled (flat) variants fuse into few kernels on
+# TPU, where the scan variants pay ~50 while-loop iterations of launch
+# overhead per field op; but XLA's CPU backend compiles the flat graphs
+# pathologically slowly, so CPU (the test mesh) keeps the scan forms.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=1)
+def _unrolled_backend() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def mont_mul_hot(spec: FieldSpec, a, b):
+    if _unrolled_backend():
+        return mont_mul_kernel(spec, a, b)
+    return mont_mul_r(spec, a, b)
+
+
+def add_hot(spec: FieldSpec, a, b):
+    if _unrolled_backend():
+        return add_kernel(spec, a, b)
+    return add_r(spec, a, b)
+
+
+def sub_hot(spec: FieldSpec, a, b):
+    if _unrolled_backend():
+        return sub_kernel(spec, a, b)
+    return sub_r(spec, a, b)
+
+
+def neg_hot(spec: FieldSpec, a):
+    if _unrolled_backend():
+        return neg_kernel(spec, a)
+    return neg_r(spec, a)
+
+
+# ---------------------------------------------------------------------------
 # Public jitted entry points. The *_r raw functions above are for use
 # INSIDE already-traced code (tracing a plain function is cheap; tracing
 # thousands of nested pjit calls is not). These wrappers are for eager
@@ -342,19 +480,19 @@ class FieldOps:
         self.coeff_shape = (spec.L,)
 
     def add(self, a, b):
-        return add_r(self.spec, a, b)
+        return add_hot(self.spec, a, b)
 
     def sub(self, a, b):
-        return sub_r(self.spec, a, b)
+        return sub_hot(self.spec, a, b)
 
     def neg(self, a):
-        return neg_r(self.spec, a)
+        return neg_hot(self.spec, a)
 
     def mul(self, a, b):
-        return mont_mul_r(self.spec, a, b)
+        return mont_mul_hot(self.spec, a, b)
 
     def sqr(self, a):
-        return mont_mul_r(self.spec, a, a)
+        return mont_mul_hot(self.spec, a, a)
 
     def is_zero(self, a):
         return is_zero(self.spec, a)
@@ -388,32 +526,32 @@ class Fq2Ops(FieldOps):
 
     def add(self, a, b):
         s = self.spec
-        return jnp.stack([add_r(s, a[0], b[0]), add_r(s, a[1], b[1])])
+        return jnp.stack([add_hot(s, a[0], b[0]), add_hot(s, a[1], b[1])])
 
     def sub(self, a, b):
         s = self.spec
-        return jnp.stack([sub_r(s, a[0], b[0]), sub_r(s, a[1], b[1])])
+        return jnp.stack([sub_hot(s, a[0], b[0]), sub_hot(s, a[1], b[1])])
 
     def neg(self, a):
         s = self.spec
-        return jnp.stack([neg_r(s, a[0]), neg_r(s, a[1])])
+        return jnp.stack([neg_hot(s, a[0]), neg_hot(s, a[1])])
 
     def mul(self, a, b):
         # Karatsuba: (a0b0 - a1b1, (a0+a1)(b0+b1) - a0b0 - a1b1)
         s = self.spec
-        t0 = mont_mul_r(s, a[0], b[0])
-        t1 = mont_mul_r(s, a[1], b[1])
-        t2 = mont_mul_r(s, add_r(s, a[0], a[1]), add_r(s, b[0], b[1]))
-        c0 = sub_r(s, t0, t1)
-        c1 = sub_r(s, sub_r(s, t2, t0), t1)
+        t0 = mont_mul_hot(s, a[0], b[0])
+        t1 = mont_mul_hot(s, a[1], b[1])
+        t2 = mont_mul_hot(s, add_hot(s, a[0], a[1]), add_hot(s, b[0], b[1]))
+        c0 = sub_hot(s, t0, t1)
+        c1 = sub_hot(s, sub_hot(s, t2, t0), t1)
         return jnp.stack([c0, c1])
 
     def sqr(self, a):
         # (a0+a1)(a0-a1), 2 a0 a1
         s = self.spec
-        t0 = mont_mul_r(s, add_r(s, a[0], a[1]), sub_r(s, a[0], a[1]))
-        t1 = mont_mul_r(s, a[0], a[1])
-        return jnp.stack([t0, add_r(s, t1, t1)])
+        t0 = mont_mul_hot(s, add_hot(s, a[0], a[1]), sub_hot(s, a[0], a[1]))
+        t1 = mont_mul_hot(s, a[0], a[1])
+        return jnp.stack([t0, add_hot(s, t1, t1)])
 
     def is_zero(self, a):
         return jnp.all(a == 0, axis=(0, 1))

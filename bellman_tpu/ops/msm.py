@@ -145,12 +145,9 @@ def _fold_fn(ops: CurveOps, c: int):
 
 def default_window_bits(n: int) -> int:
     """Pick c. The scan cost is windows * O(n); the bucket post-pass is
-    O(2^c). Balance 2^c against n (c must divide 16)."""
-    if n >= 1 << 14:
-        return 16
-    if n >= 1 << 7:
-        return 8
-    return 4
+    O(2^c). Balance 2^c against n (c must divide 16). Few distinct values
+    keep the number of compiled window kernels small."""
+    return 16 if n >= 1 << 14 else 8
 
 
 def _next_pow2(n: int) -> int:
@@ -170,7 +167,8 @@ def msm(ops: CurveOps, points, scalar_limbs, c: int | None = None):
     n = int(scalar_limbs.shape[-1])
     if c is None:
         c = default_window_bits(n)
-    n_pad = _next_pow2(n)
+    # pad to at least 128 so tiny prover queries share one compiled kernel
+    n_pad = max(128, _next_pow2(n))
     if n_pad != n:
         pad = n_pad - n
         inf = ops.infinity((pad,))

@@ -26,7 +26,11 @@ import jax
 import jax.numpy as jnp
 
 
-BASE = 128  # sequential base-case length / chunk length
+# Chunk length == sequential steps per level (and the base-case length).
+# Larger -> fewer traced combines (compile time); smaller -> fewer
+# sequential steps (runtime). 128 favors compile time; revisit with the
+# planned Pallas MSM kernel.
+BASE = 128
 
 
 def _move_last_to_front(x):

@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops import curve, fft, limbs, msm
 from ..ops.limbs import FieldSpec
@@ -134,15 +134,15 @@ class ShardedDomainPlan:
         buf = x_local
         j1 = r  # we start holding our own block
         w = jnp.take(jnp.take(wmat, r, axis=1), j1 % T, axis=1)  # (L,)
-        acc = limbs.mont_mul(spec, buf, w[:, None])
+        acc = limbs.mont_mul_r(spec, buf, w[:, None])
         for t in range(1, T):
             buf = jax.lax.ppermute(
                 buf, AXIS, [(i, (i + 1) % T) for i in range(T)]
             )
             j1 = (r - t) % T
             w = jnp.take(jnp.take(wmat, r, axis=1), j1, axis=1)
-            acc = limbs.add(
-                spec, acc, limbs.mont_mul(spec, buf, w[:, None])
+            acc = limbs.add_r(
+                spec, acc, limbs.mont_mul_r(spec, buf, w[:, None])
             )
         return acc
 
@@ -151,7 +151,7 @@ class ShardedDomainPlan:
         r = jax.lax.axis_index(AXIS)
         base = jnp.take(base_tab, r, axis=1)[:, None]  # (L, 1)
         powers = self._geo(base, self.exp - self.log_t)
-        return limbs.mont_mul(self.spec, x_local, powers)
+        return limbs.mont_mul_r(self.spec, x_local, powers)
 
     def fft_block_to_cyclic_local(self, x_local, inverse=False):
         """DIF step body: ring exchange -> pre-twiddle -> local FFT.
@@ -161,9 +161,9 @@ class ShardedDomainPlan:
         base = self.tw_base_inv if inverse else self.tw_base
         s = self._ring_exchange(x_local, wmat)
         s = self._pre_twiddle(s, base)
-        out = self.local_plan.fft(s, inverse=inverse, scale=False)
+        out = self.local_plan._fft_impl(s, inverse=inverse, scale=False)
         if inverse:
-            out = limbs.mont_mul(self.spec, out, self.minv)
+            out = limbs.mont_mul_r(self.spec, out, self.minv)
         return out
 
     def fft_cyclic_to_block_local(self, x_local, inverse=False):
@@ -172,12 +172,12 @@ class ShardedDomainPlan:
         Input cyclic (device r holds x[j'T + r]); output block-sharded."""
         wmat = self.ring_w_inv if inverse else self.ring_w
         base = self.tw_base_inv if inverse else self.tw_base
-        y = self.local_plan.fft(x_local, inverse=inverse, scale=False)
+        y = self.local_plan._fft_impl(x_local, inverse=inverse, scale=False)
         z = self._pre_twiddle(y, base)
         # X[d*(n/T) + k2] = sum_r w[d, r] * z_r[k2]
         out = self._ring_exchange_t(z, wmat)
         if inverse:
-            out = limbs.mont_mul(self.spec, out, self.minv)
+            out = limbs.mont_mul_r(self.spec, out, self.minv)
         return out
 
     def _ring_exchange_t(self, z_local, wmat):
@@ -194,8 +194,8 @@ class ShardedDomainPlan:
         head = self.g_base if not inverse else self.ginv_base
         powers = self._geo(base, self.exp - self.log_t)  # (g^T)^q
         scale = jnp.take(head, r, axis=1)[:, None]
-        return limbs.mont_mul(
-            spec, x_local, limbs.mont_mul(spec, powers, scale)
+        return limbs.mont_mul_r(
+            spec, x_local, limbs.mont_mul_r(spec, powers, scale)
         )
 
     # -- full pipelines (shard_map'ed jitted callables) ----------------------
@@ -213,9 +213,9 @@ class ShardedDomainPlan:
             a = to_evals(a)
             b = to_evals(b)
             c = to_evals(c)
-            ab = limbs.mont_mul(self.spec, a, b)
-            ab = limbs.sub(self.spec, ab, c)
-            ab = limbs.mont_mul(self.spec, ab, self.zinv)
+            ab = limbs.mont_mul_r(self.spec, a, b)
+            ab = limbs.sub_r(self.spec, ab, c)
+            ab = limbs.mont_mul_r(self.spec, ab, self.zinv)
             h = self.fft_block_to_cyclic_local(ab, inverse=True)
             h = self.distribute_powers_cyclic_local(h, inverse=True)
             # zero the top coefficient (global index n-1 = local n/T-1 on
@@ -231,6 +231,7 @@ class ShardedDomainPlan:
             mesh=self.mesh,
             in_specs=(P(None, AXIS),) * 3,
             out_specs=P(None, AXIS),
+            check_vma=False,
         )
         return jax.jit(fn)
 
@@ -242,6 +243,7 @@ class ShardedDomainPlan:
             mesh=self.mesh,
             in_specs=(P(None, AXIS),),
             out_specs=P(None, AXIS),
+            check_vma=False,
         )
         return jax.jit(fn)
 
@@ -252,6 +254,7 @@ class ShardedDomainPlan:
             mesh=self.mesh,
             in_specs=(P(None, AXIS),),
             out_specs=P(None, AXIS),
+            check_vma=False,
         )
         return jax.jit(fn)
 
@@ -286,6 +289,7 @@ def _sharded_window_fn(ops: curve.CurveOps, c: int, mesh: Mesh):
         mesh=mesh,
         in_specs=(P(None, AXIS), P(AXIS)),
         out_specs=P(None, None),
+        check_vma=False,
     )
     return jax.jit(fn)
 

@@ -26,3 +26,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Persistent compilation cache for the CPU backend: MSM/FFT kernel
+# compiles dominate suite time; caching them across runs/processes is
+# safe on CPU (the axon TPU backend stalls on cache serialization, so
+# bellman_tpu.__init__ leaves it opt-in there).
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)

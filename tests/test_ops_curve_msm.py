@@ -75,7 +75,7 @@ class TestG2Ops:
 
 
 class TestMsm:
-    @pytest.mark.parametrize("n,c", [(1, 4), (7, 4), (40, 8), (300, 8)])
+    @pytest.mark.parametrize("n,c", [(1, 8), (7, 8), (40, 8), (300, 8)])
     def test_g1_msm_vs_naive(self, n, c):
         rng = random.Random(n)
         pts = rand_g1(rng, n)

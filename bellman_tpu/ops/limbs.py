@@ -417,10 +417,15 @@ def batch_inv_r(spec: FieldSpec, x):
 
 @functools.lru_cache(maxsize=1)
 def _unrolled_backend() -> bool:
-    try:
-        return jax.default_backend() in ("tpu", "axon")
-    except Exception:  # noqa: BLE001
-        return False
+    # Opt-in: the flat graphs compile slowly through the axon remote-
+    # compile tunnel too; until the Pallas MSM kernel lands, the scan
+    # forms are the default everywhere. BELLMAN_TPU_UNROLLED=1 enables
+    # the flat forms (worthwhile when one compile amortizes many runs).
+    import os
+
+    if os.environ.get("BELLMAN_TPU_UNROLLED"):
+        return True
+    return False
 
 
 def mont_mul_hot(spec: FieldSpec, a, b):

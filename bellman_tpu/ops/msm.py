@@ -111,10 +111,15 @@ def _window_sum_body(ops: CurveOps, c: int, packed_points, digits):
     dense = inf.at[:, target].set(scanned, mode="drop")
     # suffix running sum over buckets 1..2^c-1 ("summation by parts",
     # multiexp.rs:267-277), then the total across buckets
+    # narrow chunks here: the bucket array is long but each device's
+    # share is small, so favor wide shallow steps (the 40s XLA-CPU
+    # collective rendezvous also bounds per-window sequential work)
     (run,) = scanlib.chunked_scan(
-        _add_combine(ops), (inf1,), (dense[:, 1:],), reverse=True
+        _add_combine(ops), (inf1,), (dense[:, 1:],), reverse=True, base=32
     )
-    (total,) = scanlib.chunked_reduce(_add_combine(ops), (inf1,), (run,))
+    (total,) = scanlib.chunked_reduce(
+        _add_combine(ops), (inf1,), (run,), base=32
+    )
     return total
 
 

@@ -58,17 +58,21 @@ def _bcast_ident(identity, like):
     )
 
 
-def chunked_scan(combine, identity, elems, reverse: bool = False):
+def chunked_scan(combine, identity, elems, reverse: bool = False,
+                 base: int | None = None):
     """Inclusive scan of `combine` along the last axis.
 
     combine: ((a...), (b...)) -> (out...), associative, with `identity`
     a left identity (combine(identity, x) == x).
     identity: tuple of arrays broadcastable to each element's shape with
-    last axis 1."""
+    last axis 1. ``base`` overrides the chunk length (smaller -> fewer,
+    wider sequential steps but more recursion levels / traced combines).
+    """
+    BASE = base if base is not None else globals()["BASE"]
     elems = tuple(elems)
     if reverse:
         flipped = tuple(jnp.flip(e, axis=-1) for e in elems)
-        out = chunked_scan(combine, identity, flipped)
+        out = chunked_scan(combine, identity, flipped, base=base)
         return tuple(jnp.flip(o, axis=-1) for o in out)
 
     n = elems[0].shape[-1]
@@ -109,7 +113,7 @@ def chunked_scan(combine, identity, elems, reverse: bool = False):
     _, intra = jax.lax.scan(body, init, xs)  # (K, ..., G) inclusive
     totals = tuple(t[-1] for t in intra)     # (..., G)
 
-    tot_scan = chunked_scan(combine, identity, totals)
+    tot_scan = chunked_scan(combine, identity, totals, base=base)
     # exclusive chunk prefixes: shift right by one, identity in front
     prev = tuple(
         jnp.concatenate(
@@ -133,8 +137,9 @@ def chunked_scan(combine, identity, elems, reverse: bool = False):
     return tuple(o[..., :n] for o in folded)
 
 
-def chunked_reduce(combine, identity, elems):
+def chunked_reduce(combine, identity, elems, base: int | None = None):
     """Total fold of `combine` along the last axis -> last axis size 1."""
+    BASE = base if base is not None else globals()["BASE"]
     elems = tuple(elems)
     n = elems[0].shape[-1]
     while n > BASE:

@@ -89,8 +89,16 @@ def _add_combine(ops: CurveOps):
     return combine
 
 
-def _window_sum_body(ops: CurveOps, c: int, packed_points, digits):
-    """Per-window bucket pipeline (traceable; see module docstring)."""
+def _window_sum_body(ops: CurveOps, c: int, packed_points, digits,
+                     use_pallas: bool | None = None):
+    """Per-window bucket pipeline (traceable; see module docstring).
+
+    On TPU the scans run as Pallas sequential-grid kernels
+    (ops.pallas_scan); the jnp chunked scan is the CPU/test reference."""
+    if use_pallas is None:
+        from . import pallas_kernels as pk
+
+        use_pallas = pk.enabled()
     n = digits.shape[0]
     inf1 = _pack(ops, ops.infinity((1,)))
     order = jnp.argsort(digits)
@@ -99,11 +107,17 @@ def _window_sum_body(ops: CurveOps, c: int, packed_points, digits):
     first = jnp.concatenate(
         [jnp.ones((1,), jnp.uint32), (d[1:] != d[:-1]).astype(jnp.uint32)]
     )
-    scanned, _ = scanlib.chunked_scan(
-        _seg_combine(ops),
-        (inf1, jnp.zeros((1, 1), jnp.uint32)),
-        (pts, jnp.broadcast_to(first[None], (1, n))),
-    )
+    flags = jnp.broadcast_to(first[None], (1, n))
+    if use_pallas:
+        from . import pallas_scan
+
+        scanned = pallas_scan.seg_scan(ops, pts, flags)
+    else:
+        scanned, _ = scanlib.chunked_scan(
+            _seg_combine(ops),
+            (inf1, jnp.zeros((1, 1), jnp.uint32)),
+            (pts, flags),
+        )
     is_end = jnp.concatenate([d[1:] != d[:-1], jnp.ones((1,), bool)])
     # segment sums -> dense buckets; digit 0 and non-ends are dropped
     target = jnp.where(is_end & (d > 0), d, jnp.uint32(1 << c))
@@ -111,15 +125,22 @@ def _window_sum_body(ops: CurveOps, c: int, packed_points, digits):
     dense = inf.at[:, target].set(scanned, mode="drop")
     # suffix running sum over buckets 1..2^c-1 ("summation by parts",
     # multiexp.rs:267-277), then the total across buckets
-    # narrow chunks here: the bucket array is long but each device's
-    # share is small, so favor wide shallow steps (the 40s XLA-CPU
-    # collective rendezvous also bounds per-window sequential work)
-    (run,) = scanlib.chunked_scan(
-        _add_combine(ops), (inf1,), (dense[:, 1:],), reverse=True, base=32
-    )
-    (total,) = scanlib.chunked_reduce(
-        _add_combine(ops), (inf1,), (run,), base=32
-    )
+    if use_pallas:
+        from . import pallas_scan
+
+        run = pallas_scan.plain_scan(ops, dense[:, 1:], reverse=True)
+        # summation by parts: total = sum_b R_b (R_b the suffix sums)
+        total = pallas_scan.plain_scan(ops, run)[:, -1:]
+    else:
+        # narrow chunks: the bucket pass is long but each device's share
+        # is small, so favor wide shallow steps (the 40s XLA-CPU
+        # collective rendezvous also bounds per-window sequential work)
+        (run,) = scanlib.chunked_scan(
+            _add_combine(ops), (inf1,), (dense[:, 1:],), reverse=True, base=32
+        )
+        (total,) = scanlib.chunked_reduce(
+            _add_combine(ops), (inf1,), (run,), base=32
+        )
     return total
 
 

@@ -143,9 +143,18 @@ class DomainPlan:
     def ifft(self, a):
         return self.fft(a, inverse=True)
 
+    def _mul_hot(self, a, b):
+        """Pointwise Montgomery mul, via the fused Pallas kernel on TPU
+        when tile-aligned."""
+        from . import pallas_kernels as pk
+
+        if pk.enabled() and a.shape[-1] % pk.TILE_N == 0:
+            return pk.mont_mul(self.spec, a, jnp.broadcast_to(b, a.shape))
+        return limbs.mont_mul(self.spec, a, b)
+
     def distribute_powers(self, a, inverse: bool = False):
         pw = self.ginv_powers if inverse else self.g_powers
-        return limbs.mont_mul(self.spec, a, pw)
+        return self._mul_hot(a, pw)
 
     def _distribute_powers_r(self, a, inverse: bool = False):
         pw = self.ginv_powers if inverse else self.g_powers
@@ -158,10 +167,10 @@ class DomainPlan:
         return self.distribute_powers(self.ifft(a), inverse=True)
 
     def divide_by_z_on_coset(self, a):
-        return limbs.mont_mul(self.spec, a, self.zinv)
+        return self._mul_hot(a, self.zinv)
 
     def mul_pointwise(self, a, b):
-        return limbs.mont_mul(self.spec, a, b)
+        return self._mul_hot(a, b)
 
     def sub_pointwise(self, a, b):
         return limbs.sub(self.spec, a, b)

@@ -96,3 +96,41 @@ def h_pointwise(spec: FieldSpec, a, b, c, interpret: bool = False, *, zinv):
         out_specs=pl.BlockSpec((L, TILE_N), lambda i: (0, i)),
         interpret=interpret,
     )(p_arr, a, b, c, zinv)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def butterfly(spec: FieldSpec, u, v, w, interpret: bool = False):
+    """FFT butterfly stage, fused: returns (u + v*w, u - v*w).
+
+    u, v, w: (L, M) Montgomery with M a multiple of TILE_N. One VMEM
+    pass replaces a multiply and two carry chains that otherwise run as
+    ~50 sequential while-loop steps each (PERF.md)."""
+    L, M = u.shape
+    p_arr = jnp.asarray(spec.p_limbs.reshape(L, 1))
+
+    def kernel(p_ref, u_ref, v_ref, w_ref, add_ref, sub_ref):
+        p = p_ref[:]
+        t = limbs.mont_mul_kernel(spec, v_ref[:], w_ref[:], p)
+        uu = u_ref[:]
+        add_ref[:] = limbs.add_kernel(spec, uu, t, p)
+        sub_ref[:] = limbs.sub_kernel(spec, uu, t, p)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((L, M), jnp.uint32),
+            jax.ShapeDtypeStruct((L, M), jnp.uint32),
+        ),
+        grid=_grid_for(M),
+        in_specs=[
+            pl.BlockSpec((L, 1), lambda i: (0, 0)),
+            pl.BlockSpec((L, TILE_N), lambda i: (0, i)),
+            pl.BlockSpec((L, TILE_N), lambda i: (0, i)),
+            pl.BlockSpec((L, TILE_N), lambda i: (0, i)),
+        ],
+        out_specs=(
+            pl.BlockSpec((L, TILE_N), lambda i: (0, i)),
+            pl.BlockSpec((L, TILE_N), lambda i: (0, i)),
+        ),
+        interpret=interpret,
+    )(p_arr, u, v, w)

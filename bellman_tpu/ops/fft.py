@@ -176,11 +176,6 @@ class DomainPlan:
         return limbs.sub(self.spec, a, b)
 
 
-@functools.lru_cache(maxsize=32)
-def _plan_cache(spec_name: str, field_qualname: str, exp: int):
-    raise RuntimeError("use get_plan")
-
-
 _PLANS: dict = {}
 
 

@@ -70,14 +70,27 @@ class FixedBaseTable:
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
 def _apply_table(ops: CurveOps, c: int, num_windows: int, table, scalar_limbs):
+    """Sum over windows of table lookups, as a lax.scan so the Jacobian
+    add is traced once (a Python loop over 32 windows made XLA's CPU
+    compile pathological)."""
     n = scalar_limbs.shape[-1]
-    acc = None
-    for w in range(num_windows):
-        digits = msm.extract_digits(scalar_limbs, w, c)
-        idx = jnp.uint32(w << c) + digits
-        pts = msm._unpack(ops, jnp.take(table, idx, axis=-1))
-        acc = pts if acc is None else ops.add(acc, pts)
-    return msm._pack(ops, acc)
+    digit_rows = jnp.stack(
+        [
+            jnp.uint32(w << c) + msm.extract_digits(scalar_limbs, w, c)
+            for w in range(num_windows)
+        ]
+    )  # (nw, n) global table indices
+
+    def body(acc, idx):
+        pts = msm._pack(ops, msm._unpack(ops, jnp.take(table, idx, axis=-1)))
+        merged = msm._pack(
+            ops, ops.add(msm._unpack(ops, acc), msm._unpack(ops, pts))
+        )
+        return merged, None
+
+    init = msm._pack(ops, msm._unpack(ops, jnp.take(table, digit_rows[0], axis=-1)))
+    acc, _ = jax.lax.scan(body, init, digit_rows[1:])
+    return acc
 
 
 @functools.partial(jax.jit, static_argnums=0)

@@ -73,25 +73,34 @@ def generate_parameters_on_device(
     t_g1 = fixed_base.FixedBaseTable(curve.g1_ops(), g1, bits, c=window_c)
     t_g2 = fixed_base.FixedBaseTable(curve.g2_ops(), g2, bits, c=window_c)
 
+    def _pad_pow2(ints):
+        """Pad to >=64 power-of-two with zero scalars (table[w][0] is the
+        identity, so pads are inert) — shape-caches the apply/normalize
+        kernels across the CRS's differently-sized queries."""
+        k = max(64, 1 << (len(ints) - 1).bit_length())
+        return ints + [0] * (k - len(ints))
+
     def exp_g1(scalars):
         if not scalars:
             return []
-        sl = jnp.asarray(spec.to_limbs([int(s) for s in scalars]))
+        ints = _pad_pow2([int(s) for s in scalars])
+        sl = jnp.asarray(spec.to_limbs(ints))
         packed = t_g1.apply(sl)
         xa, ya, inf = fixed_base.batch_to_affine(curve.g1_ops(), packed)
         return fixed_base.to_host_affine(
             curve.g1_ops(), xa, ya, inf, engine.G1
-        )
+        )[: len(scalars)]
 
     def exp_g2(scalars):
         if not scalars:
             return []
-        sl = jnp.asarray(spec.to_limbs([int(s) for s in scalars]))
+        ints = _pad_pow2([int(s) for s in scalars])
+        sl = jnp.asarray(spec.to_limbs(ints))
         packed = t_g2.apply(sl)
         xa, ya, inf = fixed_base.batch_to_affine(curve.g2_ops(), packed)
         return fixed_base.to_host_affine(
             curve.g2_ops(), xa, ya, inf, engine.G2
-        )
+        )[: len(scalars)]
 
     # -- H query: g1^(tau^i * t(tau) / delta), i < n-1 ------------------------
     zt = tau ** n - field.one()

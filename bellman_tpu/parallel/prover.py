@@ -141,8 +141,6 @@ def create_proof_sharded(engine, circuit, params: ShardedDeviceParameters,
     h_plain_cyclic = limbs.from_mont(spec, h_mont_cyclic)
 
     ops1, ops2 = curve.g1_ops(), curve.g2_ops()
-    g1_pts = lambda pts: curve.jacobian_to_host(ops1, pts, bls.G1Affine)[0]
-    g2_pts = lambda pts: curve.jacobian_to_host(ops2, pts, bls.G2Affine)[0]
 
     # h MSM: bases already cyclic-ordered; top slot has a zero coefficient
     h_res = sharding.sharded_msm(

@@ -83,11 +83,21 @@ def test_satisfiable_and_inputs_match():
 
 @pytest.mark.slow
 def test_groth16_roundtrip():
+    # ~52k constraints: CRS generation runs on the DEVICE generator (the
+    # host oracle would take ~an hour in pure Python at this size)
+    from bellman_tpu.ops.generator import generate_random_parameters_on_device
+
+    from bellman_tpu.ops.prover import (
+        DeviceParameters, create_random_proof_on_device,
+    )
+
     rng = random.Random(1)
     preimage = bytes(rng.getrandbits(8) for _ in range(MyCircuit.PREIMAGE_LEN))
-    params = generate_random_parameters(ENGINE, MyCircuit(), rng)
+    params = generate_random_parameters_on_device(ENGINE, MyCircuit(), rng)
     pvk = prepare_verifying_key(ENGINE, params.vk)
-    proof = create_random_proof(ENGINE, MyCircuit(preimage), params, rng)
+    proof = create_random_proof_on_device(
+        ENGINE, MyCircuit(preimage), DeviceParameters(ENGINE, params), rng
+    )
     hash_bits = multipack.bytes_to_bits_le(sha256d(preimage))
     inputs = multipack.compute_multipacking(Fr, hash_bits)
     verify_proof(pvk, proof, inputs)

@@ -24,15 +24,21 @@ Fr = ENGINE.Fr
 @pytest.mark.slow
 def test_sharded_proof_bit_identical():
     devs = jax.local_devices(backend="cpu")
-    if len(devs) < 8:
-        pytest.skip("needs 8 cpu devices")
-    mesh = sharding.make_mesh(devices=devs[:8])
+    if len(devs) < 4:
+        pytest.skip("needs 4 cpu devices")
+    # 4 devices + 4-bit windows: XLA-CPU aborts a collective whose
+    # participants don't all arrive within 40s, and the virtual devices
+    # share host threads; smaller per-window work keeps every device
+    # comfortably under that bound
+    mesh = sharding.make_mesh(devices=devs[:4])
 
     rng = random.Random(77)
     rounds = 12
     constants = [Fr.random(rng) for _ in range(rounds)]
     params = generate_random_parameters(ENGINE, MiMCDemo(constants), rng)
-    sharded = ShardedDeviceParameters(ENGINE, params, mesh, min_block=8)
+    sharded = ShardedDeviceParameters(
+        ENGINE, params, mesh, min_block=8, window_c=4
+    )
     pvk = prepare_verifying_key(ENGINE, params.vk)
 
     xl, xr = Fr.random(rng), Fr.random(rng)

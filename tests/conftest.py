@@ -31,7 +31,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # compiles dominate suite time; caching them across runs/processes is
 # safe on CPU (the axon TPU backend stalls on cache serialization, so
 # bellman_tpu.__init__ leaves it opt-in there).
+#
+# READ-mostly: writing the very largest executables (the 24-limb Fq2 G2
+# MSM at full window width) segfaults inside the cache's zstandard
+# compression and kills the whole test process, so by default writes are
+# disabled (min_compile_time effectively infinite) and only pre-existing
+# entries are read. Set BELLMAN_TPU_CPU_CACHE_WRITE=1 to (re)populate the
+# cache when running suites that don't touch the G2 MSM.
 _cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu")
 os.makedirs(_cache_dir, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+if os.environ.get("BELLMAN_TPU_CPU_CACHE_WRITE"):
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+else:
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)

@@ -1,8 +1,10 @@
 """Pallas scan kernels vs the jnp chunked-scan path (interpret mode).
 
 Marked slow: interpret-mode Pallas inlines the flat combine per grid
-step, which XLA-CPU compiles slowly. The TPU path is exercised by
-bench.py and the device prover on real hardware."""
+step, which XLA-CPU compiles slowly (~16 min, ~12 GB peak). Run it in a
+fresh process: after another heavy suite in the same process the XLA-CPU
+compile has been seen to segfault. The TPU path is exercised by bench.py
+and the device prover on real hardware."""
 
 import random
 

@@ -1,0 +1,172 @@
+"""Round-scheduled MSM (ops/msm2.py) vs the naive host oracle.
+
+Covers the reference's MSM contract (multiexp == naive double-and-add,
+/root/reference/src/multiexp.rs:334-378) plus the v2-specific machinery:
+signed-digit decomposition, the occupancy-sorted round schedule, and the
+masked mixed-add special cases (zero scalar, identity point, duplicate
+points forcing the in-round doubling path)."""
+
+import random
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bellman_tpu.algebra import bls12_381 as bls
+from bellman_tpu.ops import curve, limbs, msm2
+
+
+def rand_g1(rng, n):
+    g = bls.G1Affine.generator()
+    return [g.mul_int(rng.randrange(1, bls.R)) for _ in range(n)]
+
+
+def naive(pts, scalars, identity):
+    want = identity
+    for p, s in zip(pts, scalars):
+        want = want + p.mul_int(s)
+    return want
+
+
+class TestSignedDigits:
+    @pytest.mark.parametrize("c", [8, 16])
+    def test_reconstruction(self, c):
+        spec = limbs.spec_for("bls_fr")
+        rng = random.Random(c)
+        vals = [0, 1, bls.R - 1, (1 << 255) % bls.R] + [
+            rng.randrange(bls.R) for _ in range(20)
+        ]
+        sl = jnp.asarray(spec.to_limbs(vals))
+        absd, sgn = msm2.signed_digits(sl, c)
+        absd = np.asarray(absd)
+        sgn = np.asarray(sgn)
+        half = 1 << (c - 1)
+        assert absd.max() <= half
+        for j, v in enumerate(vals):
+            rec = sum(
+                int(absd[w, j]) * (-1 if sgn[w, j] else 1) * (1 << (c * w))
+                for w in range(absd.shape[0])
+            )
+            assert rec == v, (j, v)
+
+
+class TestMsm2Jnp:
+    """Pure-jnp reference path on CPU (mode='jnp')."""
+
+    @pytest.mark.parametrize("n", [1, 7, 40])
+    def test_vs_naive(self, n):
+        rng = random.Random(n)
+        pts = rand_g1(rng, n)
+        scalars = [rng.randrange(bls.R) for _ in range(n)]
+        if n > 2:
+            scalars[1] = 0
+            scalars[2] = 1
+        spec = limbs.spec_for("bls_fr")
+        dp = curve.g1_to_device(pts)
+        sl = jnp.asarray(spec.to_limbs(scalars))
+        got = curve.jacobian_to_host(
+            curve.g1_ops(),
+            msm2.msm2(curve.g1_ops(), dp, sl, c=8, mode="jnp"),
+            bls.G1Affine,
+        )
+        assert got == [naive(pts, scalars, bls.G1Affine.identity())]
+
+    def test_duplicates_and_identity(self):
+        """Duplicate points in one bucket hit the in-round doubling path;
+        an identity base contributes nothing."""
+        rng = random.Random(77)
+        pts = rand_g1(rng, 6)
+        pts[1] = pts[0]            # same point twice
+        pts[3] = bls.G1Affine.identity()
+        scalars = [rng.randrange(bls.R) for _ in range(6)]
+        scalars[1] = scalars[0]    # same scalar too => same bucket every window
+        spec = limbs.spec_for("bls_fr")
+        dp = curve.g1_to_device(pts)
+        sl = jnp.asarray(spec.to_limbs(scalars))
+        got = curve.jacobian_to_host(
+            curve.g1_ops(),
+            msm2.msm2(curve.g1_ops(), dp, sl, c=8, mode="jnp"),
+            bls.G1Affine,
+        )
+        assert got == [naive(pts, scalars, bls.G1Affine.identity())]
+
+    def test_negating_buckets(self):
+        """Scalars crafted to produce negative digits in every window."""
+        spec = limbs.spec_for("bls_fr")
+        rng = random.Random(5)
+        pts = rand_g1(rng, 4)
+        # 0xFFFF... digits force carries/negative digits everywhere
+        scalars = [int("81" * 16, 16), int("FF" * 31, 16) % bls.R, 3, bls.R - 1]
+        dp = curve.g1_to_device(pts)
+        sl = jnp.asarray(spec.to_limbs(scalars))
+        got = curve.jacobian_to_host(
+            curve.g1_ops(),
+            msm2.msm2(curve.g1_ops(), dp, sl, c=8, mode="jnp"),
+            bls.G1Affine,
+        )
+        assert got == [naive(pts, scalars, bls.G1Affine.identity())]
+
+    def test_g2(self):
+        rng = random.Random(11)
+        g = bls.G2Affine.generator()
+        n = 5
+        pts = [g.mul_int(rng.randrange(1, bls.R)) for _ in range(n)]
+        scalars = [rng.randrange(bls.R) for _ in range(n)]
+        spec = limbs.spec_for("bls_fr")
+        dp = curve.g2_to_device(pts)
+        sl = jnp.asarray(spec.to_limbs(scalars))
+        got = curve.jacobian_to_host(
+            curve.g2_ops(),
+            msm2.msm2(curve.g2_ops(), dp, sl, c=8, mode="jnp"),
+            bls.G2Affine,
+        )
+        assert got == [naive(pts, scalars, bls.G2Affine.identity())]
+
+
+@pytest.mark.slow
+class TestMaddKernelInterpret:
+    """madd_round (Pallas, interpret mode) == madd_round_jnp on one tile.
+
+    Run in a fresh process: the unrolled kernel body compiles slowly on
+    XLA-CPU and interpret-mode Mosaic state does not mix with compiled
+    runs (see tests/test_pallas_kernels.py). Full-pipeline parity with
+    the compiled kernels is exercised on the chip by bench/msm paths."""
+
+    def test_madd_round_interpret_matches_jnp(self):
+        from bellman_tpu.ops import pallas_madd
+
+        ops = curve.g1_ops()
+        rng = random.Random(4)
+        W = pallas_madd.TILE
+        C = 24
+        RA = pallas_madd.rows_acc(ops)
+        RD = pallas_madd.rows_add(ops)
+        # accumulator: mix of infinity lanes and real points
+        acc_pts = rand_g1(rng, 8)
+        base_pts = rand_g1(rng, 8)
+        acc = np.zeros((RA, W), np.uint32)
+        add = np.zeros((RD, W), np.uint32)
+        spec_q = limbs.spec_for("bls_fq")
+        for lane in range(W):
+            p = acc_pts[lane % 8]
+            q = base_pts[lane % 8]
+            cases = lane % 5
+            if cases == 1:
+                q = p                  # doubling lane
+            if cases == 2:
+                q = -p                 # cancellation lane
+            if cases != 3:             # 3 => acc stays infinity
+                acc[0:C, lane] = spec_q.to_mont_host([int(p.x)])[:, 0]
+                acc[C:2 * C, lane] = spec_q.to_mont_host([int(p.y)])[:, 0]
+                acc[2 * C:3 * C, lane] = spec_q.one_mont[:, 0]
+            add[0:C, lane] = spec_q.to_mont_host([int(q.x)])[:, 0]
+            add[C:2 * C, lane] = spec_q.to_mont_host([int(q.y)])[:, 0]
+            add[48, lane] = 0 if cases == 4 else 1   # valid row
+            add[49, lane] = 1 if lane % 7 == 0 else 0  # sign row
+        acc_j = jnp.asarray(acc)
+        add_j = jnp.asarray(add)
+        want = np.asarray(pallas_madd.madd_round_jnp(ops, acc_j, add_j))
+        got = np.asarray(
+            pallas_madd.madd_round(ops, jnp.asarray(acc), add_j, True)
+        )
+        assert (got[:3 * C] == want[:3 * C]).all()

@@ -93,10 +93,12 @@ def _C(ops: CurveOps) -> int:
     return int(np.prod(ops.f.coeff_shape))
 
 
+@functools.partial(jax.jit, static_argnums=0)
 def pack_points(ops: CurveOps, points):
     """Jacobian batch (Z in {0,1}-Montgomery) -> ((Cp, n) packed affine
     coords, (n,) infinity mask). Montgomery limbs are < 2^16, so a u32
-    holds limb pairs exactly."""
+    holds limb pairs exactly. Pack once per base set (the prover's CRS
+    is fixed across proofs — see PackedBases)."""
     C = _C(ops)
     x, y, z = points
     n = x.shape[-1]
@@ -106,6 +108,14 @@ def pack_points(ops: CurveOps, points):
     xp = xr[0::2] | (xr[1::2] << 16)
     yp = yr[0::2] | (yr[1::2] << 16)
     return jnp.concatenate([xp, yp], axis=0), inf
+
+
+class PackedBases:
+    """Pre-packed MSM bases: pack once, reuse across msm2 calls."""
+
+    def __init__(self, ops: CurveOps, points):
+        self.packed, self.inf_mask = pack_points(ops, points)
+        self.n = int(self.packed.shape[-1])
 
 
 def _unpack_coords(C, packed):
@@ -128,18 +138,71 @@ def _unpack_coords(C, packed):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3), donate_argnums=(8,))
-def _run_chunk(ops: CurveOps, width: int, W0: int, mode: str,
-               ptspacked, fenc_sorted, sched, r0, acc):
-    """CHUNK accumulate rounds at a fixed gather width, one dispatch.
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+def _schedule(L: int, c: int, nw: int, half: int, W0: int, n_probe: int,
+              scalar_limbs, inf_mask):
+    """Digits -> sort -> lane segment bounds -> occupancy-desc order,
+    all in one dispatch. Returns (fenc_sorted, starts_s, occ_s,
+    lane_order, probe) where probe holds occupancy at quantized-width
+    boundaries (the only value the host reads).
 
-    sched = (starts_s, occ_s) lane schedule (occupancy-descending);
+    Gather-free by design (gathers/searchsorted run ~30-70M elem/s on
+    this chip): the payload rides the sort via lax.sort_key_val, and
+    segment bounds come from a bucket histogram + cumsum instead of
+    binary searches into the 16M-element sorted key array."""
+    n = scalar_limbs.shape[-1]
+    absd, sgn = signed_digits(scalar_limbs, c)
+    absd = jnp.where(inf_mask[None, :], 0, absd)
+
+    key_flat = ((jnp.arange(nw, dtype=jnp.uint32)[:, None] << 16) | absd
+                ).reshape(-1)
+    pt_idx = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.uint32)[None, :], (nw, n)
+    ).reshape(-1)
+    fenc_flat = (pt_idx << 1) | sgn.reshape(-1)
+    _, fenc_sorted = jax.lax.sort_key_val(key_flat, fenc_flat)
+
+    # per-(window, |digit|) histogram; exclusive cumsum = segment starts
+    # in the sorted array (the sort IS ordered by (w, |digit|))
+    bins = nw * (half + 1)
+    bin_id = ((key_flat >> 16) * (half + 1) + (key_flat & 0xFFFF)
+              ).astype(jnp.int32)
+    hist = jnp.zeros((bins,), jnp.uint32).at[bin_id].add(1)
+    cum = jnp.concatenate(
+        [jnp.zeros((1,), jnp.uint32), jnp.cumsum(hist, dtype=jnp.uint32)[:-1]]
+    )
+    occ = hist.reshape(nw, half + 1)[:, 1:].reshape(-1)      # drop digit 0
+    starts = cum.reshape(nw, half + 1)[:, 1:].reshape(-1)
+
+    lane_order = jnp.argsort(-occ.astype(jnp.int32))
+    occ_s = jnp.take(occ, lane_order)
+    starts_s = jnp.take(starts, lane_order)
+    probe_idx = _width_levels(W0)[:n_probe]
+    probe = jnp.take(occ_s, jnp.asarray([0] + probe_idx[1:], jnp.int32))
+    probe = probe.at[0].set(occ_s[0])
+    return fenc_sorted, starts_s, occ_s, lane_order, probe
+
+
+def _width_levels(W0: int) -> list[int]:
+    """Quantized gather widths: W0, W0/4, W0/16, ... down to TILE."""
+    levels = [W0]
+    k = 2
+    while (W0 >> k) >= TILE:
+        levels.append(W0 >> k)
+        k += 2
+    return levels
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3), donate_argnums=(9,))
+def _run_seg(ops: CurveOps, width: int, W0: int, mode: str,
+             ptspacked, fenc_sorted, starts_s, occ_s, r0, acc, nrounds):
+    """Up to CHUNK accumulate rounds at one gather width, one dispatch.
+
     fenc_sorted = per sorted position (point_index << 1) | sign;
-    acc: (RA, W0) Jacobian accumulator rows."""
-    starts_s, occ_s = sched
+    acc: (RA, W0) Jacobian accumulator rows. Runs rounds
+    [r0, r0+nrounds) (nrounds traced, <= CHUNK)."""
     C = _C(ops)
     RD = rows_add(ops)
-    n_sorted = fenc_sorted.shape[0]
 
     rr = r0 + jnp.arange(CHUNK, dtype=jnp.uint32)[:, None]
     st = starts_s[None, :width]
@@ -170,7 +233,7 @@ def _run_chunk(ops: CurveOps, width: int, W0: int, mode: str,
             ops, acc, addend, mode == "interpret"
         )
 
-    return jax.lax.fori_loop(0, CHUNK, body, acc)
+    return jax.lax.fori_loop(0, nrounds, body, acc)
 
 
 # ---------------------------------------------------------------------------
@@ -258,79 +321,106 @@ def default_mode() -> str:
 
 
 def default_c(n: int) -> int:
-    return 16 if n >= (1 << 15) else 8
+    return 16 if n >= (1 << 18) else 8
+
+
+def _plan_segments(probe: np.ndarray, levels: list[int]) -> list[tuple]:
+    """(r0, nrounds, width) segments from the occupancy probe.
+
+    Width drops exactly when a probe threshold is crossed; each segment
+    runs at most CHUNK rounds so the fenc gather table stays bounded."""
+    occ_max = int(probe[0])
+    segs = []
+    r = 0
+    while r < occ_max:
+        width = levels[0]
+        drop_at = occ_max
+        for i in range(1, len(levels)):
+            if int(probe[i]) <= r:
+                width = levels[i]
+            elif int(probe[i]) < drop_at:
+                drop_at = int(probe[i])  # next point a narrower width opens
+        nr = min(CHUNK, drop_at - r if drop_at > r else CHUNK,
+                 occ_max - r)
+        segs.append((r, nr, width))
+        r += nr
+    return segs
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _bucket_and_tot(ops: CurveOps, nw: int, half: int, acc, lane_order):
+    """Un-permute lanes, run the bucket suffix pass, return window
+    totals (3C, nw). Pallas mode only (CPU path stays in msm2)."""
+    C = _C(ops)
+    inv_order = jnp.argsort(lane_order)
+    acc_dense = jnp.take(acc[:3 * C], inv_order, axis=1)
+    return bucket_totals(ops, acc_dense, nw, half, "pallas")
+
+
+def fold_host(tot_pts, nw: int, c: int, identity):
+    """Window fold on the host (240 point doublings are sequential; at
+    width 1 the device offers no parallelism and Python bigints win)."""
+    acc = identity
+    for w in reversed(range(nw)):
+        for _ in range(c):
+            acc = acc.double()
+        acc = acc + tot_pts[w]
+    return acc
 
 
 def msm2(ops: CurveOps, points, scalar_limbs, c: int | None = None,
-         mode: str | None = None):
+         mode: str | None = None, point_cls=None):
     """MSM Σ_i scalars_i · points_i.
 
     points: Jacobian batch tuple with Z ∈ {0, 1} (affine or identity —
     what g1_to_device/g2_to_device produce); scalar_limbs: (L, n)
-    plain-form u32 limb array. Returns a Jacobian point batch (1,).
+    plain-form u32 limb array. Returns a Jacobian point batch (1,), or
+    the host affine point if ``point_cls`` is given (the window fold is
+    then done host-side — cheaper than 240 sequential width-1 device
+    doublings).
     mode: 'pallas' (TPU), 'jnp' (CPU reference), 'interpret' (kernel
     tests on CPU)."""
     scalar_limbs = jnp.asarray(scalar_limbs)
     n = int(scalar_limbs.shape[-1])
+    L = int(scalar_limbs.shape[0])
     if mode is None:
         mode = default_mode()
     if c is None:
         c = default_c(n)
-    nw = num_windows(int(scalar_limbs.shape[0]), c)
+    nw = num_windows(L, c)
     half = 1 << (c - 1)
     W0 = nw * half
     assert W0 % TILE == 0, (W0, TILE)
     C = _C(ops)
     RA = rows_acc(ops)
+    levels = _width_levels(W0)
 
-    packed_pts, inf_mask = pack_points(ops, points)
-    absd, sgn = signed_digits(scalar_limbs, c)
-    # identity points contribute nothing: zero their digits
-    absd = jnp.where(inf_mask[None, :], 0, absd)
-
-    key_flat = ((jnp.arange(nw, dtype=jnp.uint32)[:, None] << 16) | absd
-                ).reshape(-1)
-    order = jnp.argsort(key_flat)                       # (nw*n,)
-    key_sorted = jnp.take(key_flat, order)
-    fenc_sorted = (
-        ((order % n).astype(jnp.uint32) << 1)
-        | jnp.take(sgn.reshape(-1), order)
+    if isinstance(points, PackedBases):
+        packed_pts, inf_mask = points.packed, points.inf_mask
+    else:
+        packed_pts, inf_mask = pack_points(ops, points)
+    fenc_sorted, starts_s, occ_s, lane_order, probe_dev = _schedule(
+        L, c, nw, half, W0, len(levels), scalar_limbs, inf_mask
     )
-
-    lane_w = jnp.repeat(jnp.arange(nw, dtype=jnp.uint32), half)
-    lane_b = jnp.tile(jnp.arange(1, half + 1, dtype=jnp.uint32), nw)
-    lane_key = (lane_w << 16) | lane_b
-    starts = jnp.searchsorted(key_sorted, lane_key, side="left")
-    ends = jnp.searchsorted(key_sorted, lane_key, side="right")
-    occ = (ends - starts).astype(jnp.uint32)
-
-    lane_order = jnp.argsort(-occ.astype(jnp.int32))
-    occ_s = jnp.take(occ, lane_order)
-    starts_s = jnp.take(starts, lane_order).astype(jnp.uint32)
-
-    # one tiny host sync: occupancy at quantized-width boundaries
-    ks = [k for k in range(1, 32) if (W0 >> k) >= TILE]
-    probe_idx = jnp.asarray([0] + [W0 >> k for k in ks], dtype=jnp.int32)
-    probe = np.asarray(jax.device_get(jnp.take(occ_s, probe_idx)))
-    occ_max = int(probe[0])
-    widths = [W0] + [W0 >> k for k in ks]
+    probe = np.asarray(jax.device_get(probe_dev))  # the one host sync
 
     acc = jnp.zeros((RA, W0), jnp.uint32)
-    sched = (starts_s, occ_s)
-    r = 0
-    while r < occ_max:
-        width = W0
-        for j, k in enumerate(ks):
-            if probe[j + 1] <= r:
-                width = W0 >> k  # lanes beyond this index are all done
-        acc = _run_chunk(ops, width, W0, mode, packed_pts, fenc_sorted,
-                         sched, jnp.uint32(r), acc)
-        r += CHUNK
+    for r0, nr, width in _plan_segments(probe, levels):
+        acc = _run_seg(ops, width, W0, mode, packed_pts, fenc_sorted,
+                       starts_s, occ_s, jnp.uint32(r0), acc,
+                       jnp.int32(nr))
 
-    # un-permute lanes back to dense (window, bucket) order
-    inv_order = jnp.argsort(lane_order)
-    acc_dense = jnp.take(acc[:3 * C], inv_order, axis=1)
+    if mode == "pallas":
+        tot = _bucket_and_tot(ops, nw, half, acc, lane_order)
+    else:
+        inv_order = jnp.argsort(lane_order)
+        acc_dense = jnp.take(acc[:3 * C], inv_order, axis=1)
+        tot = bucket_totals(ops, acc_dense, nw, half, mode)
 
-    tot = bucket_totals(ops, acc_dense, nw, half, mode)
+    if point_cls is not None:
+        from .curve import jacobian_to_host
+
+        tot_pts = jacobian_to_host(ops, _unpack1(ops, tot), point_cls)
+        return fold_host(tot_pts, nw, c, point_cls.identity())
     res = _fold_windows(ops, nw, c, tot)
     return _unpack1(ops, res)

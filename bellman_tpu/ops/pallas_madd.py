@@ -157,16 +157,10 @@ def madd_round(ops: CurveOps, acc, addend, interpret: bool = False):
             X3, Y3, Z3 = _madd_lanes(
                 kops, C, (X1, Y1, Z1), x2, y2, valid_row, sign_row
             )
-            out = jnp.concatenate(
-                [
-                    X3.reshape(C, T),
-                    Y3.reshape(C, T),
-                    Z3.reshape(C, T),
-                    jnp.zeros((RA - 3 * C, T), jnp.uint32),
-                ],
-                axis=0,
-            )
-            o_ref[:] = out
+            parts = [X3.reshape(C, T), Y3.reshape(C, T), Z3.reshape(C, T)]
+            if RA > 3 * C:
+                parts.append(jnp.zeros((RA - 3 * C, T), jnp.uint32))
+            o_ref[:] = jnp.concatenate(parts, axis=0)
 
         @pl.when(jnp.logical_not(jnp.any(valid_row != 0)))
         def _():
@@ -205,12 +199,7 @@ def madd_round_jnp(ops: CurveOps, acc, addend):
     sign = addend[_pad8(2 * C) + 1]
     X3, Y3, Z3 = _madd_lanes(ops, C, (X1, Y1, Z1), x2, y2, valid, sign)
     RA = rows_acc(ops)
-    return jnp.concatenate(
-        [
-            X3.reshape(C, W),
-            Y3.reshape(C, W),
-            Z3.reshape(C, W),
-            jnp.zeros((RA - 3 * C, W), jnp.uint32),
-        ],
-        axis=0,
-    )
+    parts = [X3.reshape(C, W), Y3.reshape(C, W), Z3.reshape(C, W)]
+    if RA > 3 * C:
+        parts.append(jnp.zeros((RA - 3 * C, W), jnp.uint32))
+    return jnp.concatenate(parts, axis=0)

@@ -1,0 +1,30 @@
+# One-command gates (the reference's CI discipline,
+# /root/reference/.github/workflows/ci.yml: test matrix + no-default-
+# features build + bench bitrot). CPU-only; bench.py targets the chip.
+
+PY ?= python
+
+.PHONY: test-fast test-slow test-full dryrun gate bench
+
+# fast suite: everything not marked slow (pyproject addopts)
+test-fast:
+	$(PY) -m pytest tests/ -x -q
+
+# slow suite: compile-heavy e2e paths (device generator/prover, Pallas
+# scan kernels, sha256d e2e). MUST run in CI — it is the only coverage
+# of those paths (ADVICE.md round 1).
+test-slow:
+	$(PY) -m pytest tests/ -x -q -m slow
+
+test-full: test-fast test-slow
+
+# 8-virtual-device sharded training-step compile+run (what the driver runs)
+dryrun:
+	JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+	  $(PY) -c "import __graft_entry__ as e; e.dryrun_multichip(8); print('dryrun ok')"
+
+# the full local gate
+gate: test-fast dryrun
+
+bench:
+	$(PY) bench.py

@@ -13,6 +13,8 @@ the oracle.
 
 from __future__ import annotations
 
+import secrets
+
 from ..r1cs import InvalidVerifyingKey, InvalidProof
 from .verifier import PreparedVerifyingKey, verify_proof
 
@@ -40,6 +42,12 @@ class Verifier:
 
     # -- helpers --------------------------------------------------------------
     def _nonzero_z(self, rng, field):
+        """Soundness requires z unpredictable to the prover: rng MUST be a
+        CSPRNG (the reference bounds its rng by CryptoRng,
+        batch.rs:100,116). Pass rng=None to get secrets.SystemRandom;
+        seeded non-crypto rngs are for deterministic tests only."""
+        if rng is None:
+            rng = secrets.SystemRandom()
         while True:
             z = field(rng.randrange(field.MODULUS))
             if not z.is_zero():
@@ -65,7 +73,8 @@ class Verifier:
 
     # -- verification ----------------------------------------------------------
     def verify(self, rng, vk):
-        """One random z per item (batch.rs:100-172)."""
+        """One random z per item (batch.rs:100-172). ``rng`` must be a
+        CSPRNG; pass None for secrets.SystemRandom."""
         self._check_input_lengths(vk)
         engine = self.engine
         field = engine.Fr
@@ -86,10 +95,11 @@ class Verifier:
 
         self._close_and_check(vk, ml_terms, gammas, delta_acc, y_acc)
 
-    def verify_chunked(self, vk, rng, chunk_size: int = 8):
+    def verify_chunked(self, vk, rng=None, chunk_size: int = 8):
         """verify_multicore's schedule: one random z per chunk of 8, item
         weights z, z^2, ... within the chunk; accumulators reduced as a
-        monoid (batch.rs:182-285)."""
+        monoid (batch.rs:182-285). ``rng`` must be a CSPRNG; None gets
+        secrets.SystemRandom."""
         self._check_input_lengths(vk)
         engine = self.engine
         field = engine.Fr

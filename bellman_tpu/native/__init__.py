@@ -24,13 +24,32 @@ _SO = os.path.join(
 )
 
 
+def _src_digest(src: str) -> str:
+    import hashlib
+
+    with open(src, "rb") as fh:
+        return hashlib.sha256(fh.read()).hexdigest()
+
+
 def _build() -> bool:
+    """Build the .so from source if needed.
+
+    The artifact is never committed (gitignored); staleness is decided by
+    a sha256 stamp of the source next to the .so, so a tampered or stale
+    binary can't be loaded in place of the reviewed source."""
     src = os.path.abspath(_SRC)
     so = os.path.abspath(_SO)
+    stamp = so + ".sha256"
     if not os.path.exists(src):
         return False
-    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
-        return True
+    digest = _src_digest(src)
+    if os.path.exists(so) and os.path.exists(stamp):
+        try:
+            with open(stamp) as fh:
+                if fh.read().strip() == digest:
+                    return True
+        except OSError:
+            pass
     try:
         subprocess.run(
             ["g++", "-O2", "-shared", "-fPIC", "-o", so, src],
@@ -38,6 +57,8 @@ def _build() -> bool:
             capture_output=True,
             timeout=240,
         )
+        with open(stamp, "w") as fh:
+            fh.write(digest + "\n")
         return True
     except Exception:  # noqa: BLE001 - fall back to Python
         return False
@@ -126,7 +147,14 @@ def _fq12_to_bytes(f) -> bytes:
 
 
 def multi_miller_loop(pairs):
-    """Native multi-Miller-loop; returns a host Fq12 (pre-final-exp)."""
+    """Native multi-Miller-loop; returns a host Fq12 (pre-final-exp).
+
+    ABI contract: the C library performs NO on-curve/subgroup validation
+    (off-curve or out-of-subgroup inputs yield a silently wrong value via
+    the inv(0)=0 convention in the line functions) — callers must pass
+    validated points. All proof/key deserializers in this package
+    validate on read (``checked=True`` default), which is the only route
+    untrusted points enter."""
     lib = _load()
     assert lib, "native pairing unavailable"
     g1s = b"".join(_g1_bytes(p) for p, _ in pairs)

@@ -219,14 +219,6 @@ def g2_ops() -> CurveOps:
     return CurveOps(Fq2Ops(limbs.spec_for("bls_fq")))
 
 
-@functools.lru_cache(maxsize=None)
-def dummy_ops() -> CurveOps:
-    """The DummyEngine 'curve': G = F_64513 additive. Implemented as a
-    degenerate CurveOps-compatible shim in ops.msm (scalars, not points);
-    this placeholder exists so callers can dispatch uniformly."""
-    raise NotImplementedError
-
-
 def g1_to_device(points) -> tuple:
     """Host G1Affine list -> device Jacobian point batch (Montgomery)."""
     ops = g1_ops()

@@ -102,25 +102,40 @@ class DomainPlan:
     def _fft_impl(self, a, inverse: bool, scale: bool):
         spec, n, log_n = self.spec, self.n, self.exp
         L = spec.L
+        from . import pallas_kernels as pk
+
+        # the butterfly multiply+carry chains run as one fused Pallas
+        # VMEM pass per stage on TPU (serial_fft's inner loop,
+        # domain.rs:292-313); XLA-CPU keeps the jnp twin
+        use_pallas = pk.enabled() and (n // 2) % pk.TILE_N == 0
+
         a = jnp.take(a, self.bitrev, axis=-1)
         tw = self.inv_twiddles if inverse else self.twiddles
         for s in range(log_n):
             m = 1 << s
             stride = n // (2 * m)
             x = a.reshape(L, n // (2 * m), 2, m)
-            u = x[:, :, 0, :]
-            v = x[:, :, 1, :]
+            u = x[:, :, 0, :].reshape(L, n // 2)
+            v = x[:, :, 1, :].reshape(L, n // 2)
             w = tw[:, ::stride][:, :m]  # omega^(j * n/(2m)), j < m
-            t = limbs.mont_mul_hot(spec, v, w[:, None, :])
+            wb = jnp.broadcast_to(
+                w[:, None, :], (L, n // (2 * m), m)
+            ).reshape(L, n // 2)
+            if use_pallas:
+                hi, lo = pk.butterfly(spec, u, v, wb)
+            else:
+                t = limbs.mont_mul_hot(spec, v, wb)
+                hi = limbs.add_hot(spec, u, t)
+                lo = limbs.sub_hot(spec, u, t)
             a = jnp.concatenate(
                 [
-                    limbs.add_hot(spec, u, t)[:, :, None, :],
-                    limbs.sub_hot(spec, u, t)[:, :, None, :],
+                    hi.reshape(L, n // (2 * m), 1, m),
+                    lo.reshape(L, n // (2 * m), 1, m),
                 ],
                 axis=2,
             ).reshape(L, n)
         if inverse and scale:
-            a = limbs.mont_mul_hot(spec, a, self.minv)
+            a = self._mul_hot(a, self.minv)
         return a
 
     def fft(self, a, inverse: bool = False, scale: bool | None = None):

@@ -39,7 +39,9 @@ from . import limbs
 from . import scan as scanlib
 from .curve import CurveOps
 from . import pallas_madd
+from . import pallas_affine
 from .pallas_madd import TILE, rows_acc, rows_add, _pad8
+from .pallas_affine import rows_aff
 
 MASK16 = 0xFFFF
 CHUNK = 32  # accumulate rounds per jit dispatch
@@ -228,8 +230,8 @@ def _run_seg(ops: CurveOps, width: int, W0: int, mode: str,
             full = jnp.zeros((RD, W0), jnp.uint32)
             addend = jax.lax.dynamic_update_slice(full, addend, (0, 0))
         if mode == "jnp":
-            return pallas_madd.madd_round_jnp(ops, acc, addend)
-        return pallas_madd.madd_round(
+            return pallas_affine.affine_round_jnp(ops, acc, addend)
+        return pallas_affine.affine_round(
             ops, acc, addend, mode == "interpret"
         )
 
@@ -347,13 +349,36 @@ def _plan_segments(probe: np.ndarray, levels: list[int]) -> list[tuple]:
     return segs
 
 
+def _affine_to_jac(ops: CurveOps, acc):
+    """Affine accumulator rows (lazy [0,2p) coords + nonempty flag) ->
+    canonical packed Jacobian rows (3C, W)."""
+    C = _C(ops)
+    spec = ops.f.spec
+    W = acc.shape[-1]
+    # canonicalize per L-row limb slab (x and y, each C rows)
+    slabs = []
+    for block in range(2 * C // spec.L):
+        slabs.append(
+            limbs._cond_sub_p(spec, acc[block * spec.L:(block + 1) * spec.L])
+        )
+    xy = jnp.concatenate(slabs, axis=0)
+    flag = acc[2 * C]
+    one = jnp.asarray(spec.one_mont)  # (L, 1)
+    z_one = jnp.zeros((C, W), jnp.uint32)
+    # Z = 1 in Montgomery form lives in the first L rows of the coord
+    z_one = z_one.at[:spec.L].set(jnp.broadcast_to(one, (spec.L, W)))
+    z = jnp.where(flag[None] != 0, z_one, jnp.zeros((C, W), jnp.uint32))
+    return jnp.concatenate([xy, z], axis=0)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
 def _bucket_and_tot(ops: CurveOps, nw: int, half: int, acc, lane_order):
     """Un-permute lanes, run the bucket suffix pass, return window
     totals (3C, nw). Pallas mode only (CPU path stays in msm2)."""
     C = _C(ops)
+    jac = _affine_to_jac(ops, acc)
     inv_order = jnp.argsort(lane_order)
-    acc_dense = jnp.take(acc[:3 * C], inv_order, axis=1)
+    acc_dense = jnp.take(jac, inv_order, axis=1)
     return bucket_totals(ops, acc_dense, nw, half, "pallas")
 
 
@@ -404,7 +429,7 @@ def msm2(ops: CurveOps, points, scalar_limbs, c: int | None = None,
     )
     probe = np.asarray(jax.device_get(probe_dev))  # the one host sync
 
-    acc = jnp.zeros((RA, W0), jnp.uint32)
+    acc = jnp.zeros((rows_aff(ops), W0), jnp.uint32)
     for r0, nr, width in _plan_segments(probe, levels):
         acc = _run_seg(ops, width, W0, mode, packed_pts, fenc_sorted,
                        starts_s, occ_s, jnp.uint32(r0), acc,
@@ -413,8 +438,9 @@ def msm2(ops: CurveOps, points, scalar_limbs, c: int | None = None,
     if mode == "pallas":
         tot = _bucket_and_tot(ops, nw, half, acc, lane_order)
     else:
+        jac = _affine_to_jac(ops, acc)
         inv_order = jnp.argsort(lane_order)
-        acc_dense = jnp.take(acc[:3 * C], inv_order, axis=1)
+        acc_dense = jnp.take(jac, inv_order, axis=1)
         tot = bucket_totals(ops, acc_dense, nw, half, mode)
 
     if point_cls is not None:

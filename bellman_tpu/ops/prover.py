@@ -240,3 +240,115 @@ def create_random_proof_on_device(engine, circuit, params, rng):
     r = engine.Fr(rng.randrange(engine.Fr.MODULUS))
     s = engine.Fr(rng.randrange(engine.Fr.MODULUS))
     return create_proof_on_device(engine, circuit, params, r, s)
+
+
+def create_proof_compiled(engine, compiled, input_limbs, aux_limbs,
+                          params: DeviceParameters, r, s):
+    """Prove with a CompiledCircuit and vectorized witness vectors.
+
+    ``input_limbs``/``aux_limbs``: plain-form (L, n) uint32 limb arrays
+    (numpy or device). Replaces the per-proof Python synthesis with the
+    device sparse-matvec of ops.r1cs_eval; otherwise runs the exact
+    schedule of create_proof_on_device and produces bit-identical
+    proofs (see tests/test_compiled.py)."""
+    import numpy as _np
+
+    from . import r1cs_eval
+
+    backend = params.backend
+    field = engine.Fr
+    spec = backend.fr_spec
+
+    vk = params.get_vk(compiled.num_inputs)
+    if vk.delta_g1.is_identity() or vk.delta_g2.is_identity():
+        raise UnexpectedIdentity("delta is the identity; CRS is subverted")
+
+    input_limbs = jnp.asarray(input_limbs)
+    aux_limbs = jnp.asarray(aux_limbs)
+    witness_mont = r1cs_eval.witness_to_mont(spec, input_limbs, aux_limbs)
+
+    (Ka, ia, ca), (Kb, ib, cb), (Kc, ic_, cc) = compiled.device_matrices(
+        spec
+    )
+    m = compiled.num_constraints
+    exp = (m - 1).bit_length() if m > 1 else 0
+    n = 1 << exp
+    plan = fft.get_plan(spec, field, exp)
+
+    def pad(x):
+        if x.shape[-1] < n:
+            return jnp.pad(x, ((0, 0), (0, n - x.shape[-1])))
+        return x
+
+    da = pad(r1cs_eval.eval_matrix(spec, Ka, ia, ca, witness_mont))
+    db = pad(r1cs_eval.eval_matrix(spec, Kb, ib, cb, witness_mont))
+    dc = pad(r1cs_eval.eval_matrix(spec, Kc, ic_, cc, witness_mont))
+    h_mont = fft.h_pipeline(plan, da, db, dc)
+    h_plain = limbs.from_mont(spec, h_mont)[:, : n - 1]
+
+    bk = backend
+    num_inputs = compiled.num_inputs
+    aux_np = _np.asarray(jax.device_get(aux_limbs))
+    in_np = _np.asarray(jax.device_get(input_limbs))
+
+    def mask_cols(arr, density):
+        mask = _np.asarray(density.bv, dtype=bool)
+        return jnp.asarray(arr[:, mask])
+
+    if n > 1:
+        h_res = bk.msm_g1(bk.slice_bases(params.h, 0, n - 1), h_plain)
+    else:
+        h_res = None
+
+    l_res = bk.msm_g1(params.l, aux_limbs) if compiled.num_aux else None
+
+    a_aux_exp = mask_cols(aux_np, compiled.a_aux_density)
+    a_in = bk.slice_bases(params.a, 0, num_inputs)
+    a_aux = bk.slice_bases(
+        params.a, num_inputs, num_inputs + a_aux_exp.shape[-1]
+    )
+    a_in_res = bk.msm_g1(a_in, input_limbs)
+    a_aux_res = (
+        bk.msm_g1(a_aux, a_aux_exp) if a_aux_exp.shape[-1] else None
+    )
+
+    b_in_exp = mask_cols(in_np, compiled.b_input_density)
+    b_aux_exp = mask_cols(aux_np, compiled.b_aux_density)
+    nb_in = b_in_exp.shape[-1]
+
+    def b_msm(bases, fn):
+        b_in = bk.slice_bases(bases, 0, nb_in)
+        b_aux = bk.slice_bases(bases, nb_in, nb_in + b_aux_exp.shape[-1])
+        r_in = fn(b_in, b_in_exp) if nb_in else None
+        r_aux = fn(b_aux, b_aux_exp) if b_aux_exp.shape[-1] else None
+        return r_in, r_aux
+
+    b1_in_res, b1_aux_res = b_msm(params.b_g1, bk.msm_g1)
+    b2_in_res, b2_aux_res = b_msm(params.b_g2, bk.msm_g2)
+
+    G1, G2 = engine.G1, engine.G2
+
+    def pull_g1(res):
+        return bk.msm_g1_to_host(res) if res is not None else G1.identity()
+
+    def pull_g2(res):
+        return bk.msm_g2_to_host(res) if res is not None else G2.identity()
+
+    h_pt = pull_g1(h_res)
+    l_pt = pull_g1(l_res)
+    a_answer = pull_g1(a_in_res) + pull_g1(a_aux_res)
+    b1_answer = pull_g1(b1_in_res) + pull_g1(b1_aux_res)
+    b2_answer = pull_g2(b2_in_res) + pull_g2(b2_aux_res)
+
+    g_a = vk.delta_g1.mul_int(int(r)) + vk.alpha_g1 + a_answer
+    g_b = vk.delta_g2.mul_int(int(s)) + vk.beta_g2 + b2_answer
+    g_c = (
+        vk.delta_g1.mul_int(int(r * s))
+        + vk.alpha_g1.mul_int(int(s))
+        + vk.beta_g1.mul_int(int(r))
+        + a_answer.mul_int(int(s))
+        + b1_answer.mul_int(int(r))
+        + h_pt
+        + l_pt
+    )
+    return Proof(a=g_a, b=g_b, c=g_c)

@@ -16,62 +16,7 @@ from bellman_tpu.groth16 import (
     verify_proof,
 )
 from bellman_tpu.ops.prover import DeviceParameters, create_proof_on_device
-
-
-class MiMCDemo(Circuit):
-    """LongsightF MiMC (2 constraints/round), the reference's e2e workload
-    (/root/reference/groth16/tests/common/mod.rs:39-129), at reduced
-    round count for test speed."""
-
-    def __init__(self, constants, xl=None, xr=None):
-        self.constants = constants
-        self.xl = xl
-        self.xr = xr
-
-    def synthesize(self, cs):
-        xl_val = self.xl
-        xl = cs.alloc("preimage xl", lambda: get_value(self.xl))
-        xr_val = self.xr
-        xr = cs.alloc("preimage xr", lambda: get_value(self.xr))
-
-        for i, c in enumerate(self.constants):
-            # tmp = (xL + Ci)^2
-            tmp_val = (xl_val + c).square() if xl_val is not None else None
-            tmp = cs.alloc(f"tmp {i}", lambda tv=tmp_val: get_value(tv))
-            cs.enforce(
-                f"tmp {i}",
-                cs.lc() + xl + (c, cs.one),
-                cs.lc() + xl + (c, cs.one),
-                cs.lc() + tmp,
-            )
-            # new_xL = xR + (xL + Ci)^3
-            new_xl_val = (
-                xr_val + tmp_val * (xl_val + c) if xl_val is not None else None
-            )
-            last = i == len(self.constants) - 1
-            if last:
-                new_xl = cs.alloc_input(
-                    "image", lambda nv=new_xl_val: get_value(nv)
-                )
-            else:
-                new_xl = cs.alloc(
-                    f"new_xl {i}", lambda nv=new_xl_val: get_value(nv)
-                )
-            cs.enforce(
-                f"new_xL {i}",
-                cs.lc() + tmp,
-                cs.lc() + xl + (c, cs.one),
-                cs.lc() + new_xl - xr,
-            )
-            xr, xr_val = xl, xl_val
-            xl, xl_val = new_xl, new_xl_val
-
-
-def mimc_host(field, xl, xr, constants):
-    for c in constants:
-        t = (xl + c).square() * (xl + c) + xr
-        xr, xl = xl, t
-    return xl
+from bellman_tpu.workloads import MiMCDemo, mimc_host
 
 
 @pytest.mark.parametrize("engine", [DummyEngine, Bls12_381Engine],

@@ -170,3 +170,68 @@ class TestMaddKernelInterpret:
             pallas_madd.madd_round(ops, jnp.asarray(acc), add_j, True)
         )
         assert (got[:3 * C] == want[:3 * C]).all()
+
+
+@pytest.mark.slow
+class TestAffineKernelInterpret:
+    """affine_round (Pallas K1/K2/K3, interpret mode) == affine_round_jnp
+    on one tile. Same fresh-process requirement as TestMaddKernelInterpret.
+
+    The kernel works in the lazy [0, 2p) representation; parity is
+    checked after canonicalization (one conditional subtract per
+    coordinate slab)."""
+
+    def test_affine_round_interpret_matches_jnp(self):
+        from bellman_tpu.ops import pallas_affine, pallas_madd
+
+        ops = curve.g1_ops()
+        rng = random.Random(9)
+        W = pallas_madd.TILE
+        C = 24
+        RAFF = pallas_affine.rows_aff(ops)
+        RD = pallas_madd.rows_add(ops)
+        acc_pts = rand_g1(rng, 8)
+        base_pts = rand_g1(rng, 8)
+        acc = np.zeros((RAFF, W), np.uint32)
+        add = np.zeros((RD, W), np.uint32)
+        spec_q = limbs.spec_for("bls_fq")
+        for lane in range(W):
+            p = acc_pts[lane % 8]
+            q = base_pts[lane % 8]
+            cases = lane % 5
+            if cases == 1:
+                q = p                  # doubling lane
+            if cases == 2:
+                q = -p                 # cancellation lane
+            if cases != 3:             # 3 => lane starts empty
+                acc[0:C, lane] = spec_q.to_mont_host([int(p.x)])[:, 0]
+                acc[C:2 * C, lane] = spec_q.to_mont_host([int(p.y)])[:, 0]
+                acc[2 * C, lane] = 1   # nonempty flag
+            add[0:C, lane] = spec_q.to_mont_host([int(q.x)])[:, 0]
+            add[C:2 * C, lane] = spec_q.to_mont_host([int(q.y)])[:, 0]
+            add[48, lane] = 0 if cases == 4 else 1   # valid row
+            add[49, lane] = 1 if lane % 7 == 0 else 0  # sign row
+        acc_j = jnp.asarray(acc)
+        add_j = jnp.asarray(add)
+        want = np.asarray(pallas_affine.affine_round_jnp(ops, acc_j, add_j))
+        got = np.asarray(
+            pallas_affine.affine_round(ops, jnp.asarray(acc), add_j, True)
+        )
+
+        def canon(a):
+            out = [
+                np.asarray(
+                    limbs._cond_sub_p(
+                        spec_q, jnp.asarray(a[b * spec_q.L:(b + 1) * spec_q.L])
+                    )
+                )
+                for b in range(2 * C // spec_q.L)
+            ]
+            return np.concatenate(out, axis=0)
+
+        flag_w = want[2 * C] != 0
+        flag_g = got[2 * C] != 0
+        assert (flag_g == flag_w).all()
+        cw, cg = canon(want), canon(got)
+        # coordinates only matter on nonempty lanes
+        assert (cg[:, flag_w] == cw[:, flag_w]).all()

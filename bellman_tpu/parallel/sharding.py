@@ -7,14 +7,18 @@ The reference's only parallelism is a rayon thread pool
 recombination. That decomposition IS the distributed-FFT recipe, and this
 module is its ICI-native form:
 
-* ``fft_block_to_cyclic`` (decimation-in-frequency): a weighted ring
-  exchange (T-1 ppermute rounds accumulating w^(r*j1) * block_j1), a
-  local pre-twiddle, then an entirely local sub-FFT. Input is
-  block-sharded (natural order), output is cyclic-sharded: device r
-  holds X[q*T + r] at local position q — exactly the reference's
+* ``fft_block_to_cyclic`` (decimation-in-frequency): an all-to-all
+  transpose of lane slices, a LOCAL T-point cross-device DFT
+  (s_r = sum_j1 w^(r*j1) * block_j1 computed for every r at once on
+  each device's lane slice), an all-to-all back, a local pre-twiddle,
+  then an entirely local sub-FFT. Input is block-sharded (natural
+  order), output is cyclic-sharded: device r holds X[q*T + r] at local
+  position q — exactly the reference's
   ``a[i] = tmp[i & (T-1)][i >> log_cpus]`` interleave, kept distributed.
+  Traffic: 2 * n_local per device (vs (T-1) * n_local for the round-1
+  ring broadcast this replaces).
 * ``fft_cyclic_to_block`` (decimation-in-time): local sub-FFT, local
-  twiddle, then the transposed weighted ring exchange.
+  twiddle, then the same transposed exchange.
 
 The Groth16 h-pipeline chains these so that every intermediate stays
 distributed and all index-dependent scalings (coset powers g^i, 1/n,
@@ -125,15 +129,48 @@ class ShardedDomainPlan:
         """Local geometric series [base^0 .. base^(2^log_len - 1)]."""
         return fft.geometric_powers(self.spec, base, log_len)
 
-    def _ring_exchange(self, x_local, wmat):
-        """s_r = sum_j1 wmat[r, j1] * block_j1 via T-1 ppermute rounds.
+    def _cross_dft(self, x_local, wmat):
+        """s_r = sum_j1 wmat[r, j1] * block_j1, distributed.
 
-        x_local: (L, n_local) this device's block; wmat: (L, T, T)."""
+        The cross-device T-point DFT of the block vectors, via two
+        all-to-all transposes: (1) device r trades lane slices so it
+        holds slice r of EVERY block, (2) the (T, T) weighted reduction
+        runs locally over the source axis for all outputs at once,
+        (3) the transpose back leaves device r holding s_r in full.
+        Per-device traffic is 2 * n_local (the ring broadcast this
+        replaces moved (T-1) * n_local).
+
+        x_local: (L, n_local) this device's block; wmat: (L, T, T).
+        Requires T | n_local (i.e. T^2 | n)."""
+        spec, T, L = self.spec, self.T, self.spec.L
+        if T == 1:
+            w = wmat[:, 0, 0][:, None]
+            return limbs.mont_mul_r(spec, x_local, w)
+        m = x_local.shape[-1]
+        if m % T != 0:  # tiny local blocks (tests): ring broadcast
+            return self._ring_fallback(x_local, wmat)
+        # (L, T, m/T): axis 1 = lane-slice destination
+        x = x_local.reshape(L, T, m // T)
+        x = jax.lax.all_to_all(x, AXIS, split_axis=1, concat_axis=1)
+        # now axis 1 = source block j1; compute all outputs s at once:
+        # prod[s, j1] = w[s, j1] * x[j1], summed over j1
+        prod = limbs.mont_mul_r(
+            spec, wmat[:, :, :, None], x[:, None, :, :]
+        )  # (L, T(s), T(j1), m/T)
+        acc = prod[:, :, 0, :]
+        for j1 in range(1, T):
+            acc = limbs.add_r(spec, acc, prod[:, :, j1, :])
+        # axis 1 = output s; transpose back so device s holds s_s fully
+        acc = jax.lax.all_to_all(acc, AXIS, split_axis=1, concat_axis=1)
+        return acc.reshape(L, m)
+
+    def _ring_fallback(self, x_local, wmat):
+        """T-1 ppermute rounds accumulating w[r, j1] * block_j1. Only for
+        local blocks too small to slice T ways (n_local < T)."""
         spec, T = self.spec, self.T
         r = jax.lax.axis_index(AXIS)
         buf = x_local
-        j1 = r  # we start holding our own block
-        w = jnp.take(jnp.take(wmat, r, axis=1), j1 % T, axis=1)  # (L,)
+        w = jnp.take(jnp.take(wmat, r, axis=1), r % T, axis=1)  # (L,)
         acc = limbs.mont_mul_r(spec, buf, w[:, None])
         for t in range(1, T):
             buf = jax.lax.ppermute(
@@ -159,7 +196,7 @@ class ShardedDomainPlan:
         Output: device r holds X[q*T + r] at local q."""
         wmat = self.ring_w_inv if inverse else self.ring_w
         base = self.tw_base_inv if inverse else self.tw_base
-        s = self._ring_exchange(x_local, wmat)
+        s = self._cross_dft(x_local, wmat)
         s = self._pre_twiddle(s, base)
         out = self.local_plan._fft_impl(s, inverse=inverse, scale=False)
         if inverse:
@@ -175,15 +212,10 @@ class ShardedDomainPlan:
         y = self.local_plan._fft_impl(x_local, inverse=inverse, scale=False)
         z = self._pre_twiddle(y, base)
         # X[d*(n/T) + k2] = sum_r w[d, r] * z_r[k2]
-        out = self._ring_exchange_t(z, wmat)
+        out = self._cross_dft(z, wmat)
         if inverse:
             out = limbs.mont_mul_r(self.spec, out, self.minv)
         return out
-
-    def _ring_exchange_t(self, z_local, wmat):
-        """out_d = sum_r wmat[d, r] * z_r (same ring pattern; the weight
-        lookup is by (my index, source index))."""
-        return self._ring_exchange(z_local, wmat)
 
     def distribute_powers_cyclic_local(self, x_local, inverse=False):
         """Multiply cyclic-sharded coeffs by g^(global index):

@@ -31,10 +31,15 @@ CASES = [
 
 
 @pytest.mark.parametrize("name,field,spec", CASES, ids=[c[0] for c in CASES])
-@pytest.mark.parametrize("t", [2, 8])
-def test_sharded_fft_matches_serial(name, field, spec, t):
+@pytest.mark.parametrize(
+    "t,exp",
+    [(2, 6), (8, 6), (4, 10)],
+    # (4, 10): n_local/T = 64 exercises the all-to-all cross-DFT with
+    # real lane slices ((8, 6) hits it with single-lane slices, (2, 6)
+    # and the h-pipeline's 2^5 hit the small-block ring fallback)
+)
+def test_sharded_fft_matches_serial(name, field, spec, t, exp):
     mesh = cpu_mesh(t)
-    exp = 6
     n = 1 << exp
     rng = random.Random(exp * t)
     vals = [rng.randrange(field.MODULUS) for _ in range(n)]

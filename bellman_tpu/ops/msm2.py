@@ -394,7 +394,7 @@ def fold_host(tot_pts, nw: int, c: int, identity):
 
 
 def msm2(ops: CurveOps, points, scalar_limbs, c: int | None = None,
-         mode: str | None = None, point_cls=None):
+         mode: str | None = None, point_cls=None, verbose: bool = False):
     """MSM Σ_i scalars_i · points_i.
 
     points: Jacobian batch tuple with Z ∈ {0, 1} (affine or identity —
@@ -420,6 +420,13 @@ def msm2(ops: CurveOps, points, scalar_limbs, c: int | None = None,
     RA = rows_acc(ops)
     levels = _width_levels(W0)
 
+    import time as _time
+
+    def _log(msg):
+        if verbose:
+            print(f"[msm2 +{_time.time() - _t0:.1f}s] {msg}", flush=True)
+
+    _t0 = _time.time()
     if isinstance(points, PackedBases):
         packed_pts, inf_mask = points.packed, points.inf_mask
     else:
@@ -428,15 +435,24 @@ def msm2(ops: CurveOps, points, scalar_limbs, c: int | None = None,
         L, c, nw, half, W0, len(levels), scalar_limbs, inf_mask
     )
     probe = np.asarray(jax.device_get(probe_dev))  # the one host sync
+    _log(f"schedule done, probe={probe.tolist()}")
 
     acc = jnp.zeros((rows_aff(ops), W0), jnp.uint32)
-    for r0, nr, width in _plan_segments(probe, levels):
+    segs = _plan_segments(probe, levels)
+    _log(f"{len(segs)} segments: {segs[:6]}...")
+    for r0, nr, width in segs:
         acc = _run_seg(ops, width, W0, mode, packed_pts, fenc_sorted,
                        starts_s, occ_s, jnp.uint32(r0), acc,
                        jnp.int32(nr))
+    if verbose:
+        jax.block_until_ready(acc)
+        _log("accumulate rounds done")
 
     if mode == "pallas":
         tot = _bucket_and_tot(ops, nw, half, acc, lane_order)
+        if verbose:
+            jax.block_until_ready(tot)
+            _log("bucket totals done")
     else:
         jac = _affine_to_jac(ops, acc)
         inv_order = jnp.argsort(lane_order)

@@ -1,0 +1,295 @@
+"""TPU-native Pippenger MSM v3: gather-once + occupancy-grouped tree folds.
+
+Profiling msm2 (benches/msm2_*profile.py) showed the accumulate rounds
+dominated by one random point-gather PER ROUND at ~60 M indices/s — the
+round schedule re-gathers nothing twice, but pays per-dispatch overheads
+65 times over. v3 keeps msm2's signed digits and single global
+(window|digit) sort (/root/reference/src/multiexp.rs:318-322 window
+heuristic; signed digits after group::Wnaf,
+/root/reference/groth16/src/generator.rs:209-226) and replaces the
+round-scheduled accumulation entirely:
+
+1. lanes = (window, |digit|) buckets, occupancy-sorted (descending) as
+   in msm2's schedule;
+2. lanes are grouped by occupancy ceil-power-of-two CAP; each group is
+   gathered ONCE into a rank-major (cap x lanes) padded layout — every
+   point is touched by exactly one gather, padding <= 2x (~1.4x avg);
+3. each group reduces with log2(cap) contiguous pairwise folds
+   (ops/pallas_fold.py): full-width branchless Jacobian adds where
+   empty/padded slots are Z = 0 identities. No per-round gathers, no
+   flags, no occupancy tail: a pathological bucket with k points costs
+   log2(k) levels, not k rounds;
+4. the dense (window, bucket) Jacobian lanes then run the existing
+   bucket suffix pass ("summation by parts", multiexp.rs:267-277) and
+   window fold.
+
+Lanes with cap > CHUNK_SLOTS/TILE run the per-lane heavy path (fold a
+single rank vector down to one point) — the adversarial all-same-scalar
+distribution degrades to log2(n) folds instead of msm2's n rounds.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import limbs
+from .curve import CurveOps
+from . import msm2
+from . import pallas_fold
+from .msm2 import _C, _unpack_coords, num_windows, PackedBases
+from .pallas_fold import TILE, rows_prep, rows_jac
+
+CHUNK_SLOTS = 1 << 22   # max slots gathered/folded per dispatch
+MAX_LOG_CAP = 25
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _occ_counts(occ_s, K: int):
+    """counts[k] = #lanes with occupancy > 2^k, plus nonzero count."""
+    th = jnp.asarray([1 << k for k in range(K)], jnp.uint32)
+    cnt = jnp.sum(occ_s[None, :] > th[:, None], axis=1)
+    nonzero = jnp.sum(occ_s > 0)
+    return jnp.concatenate([cnt, nonzero[None]])
+
+
+def _plan_groups(counts: np.ndarray):
+    """[(cap, lane_lo, lane_hi)] over occupancy-desc lane indices.
+
+    Group k covers occupancies (2^(k-1), 2^k]; occ-1 lanes merge into
+    the cap-2 group. Lanes >= nonzero are empty and get no group."""
+    nonzero = int(counts[-1])
+    groups = []
+    hi = nonzero
+    k = 1
+    while hi > 0:
+        lo = int(counts[k]) if k < MAX_LOG_CAP else 0
+        if lo < hi:
+            groups.append((1 << k, lo, hi))
+        hi = lo
+        k += 1
+    return groups[::-1]  # largest cap first (matches lane order prefix)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _gather_group(ops: CurveOps, cap: int, lsub: int,
+                  lane0, lane_hi, starts_s, occ_s, fenc_sorted, packed):
+    """Gather one group chunk into rank-major prep layout.
+
+    Returns (RP, cap*lsub) uint32: x rows, sign-applied y rows, valid
+    flag row. Slot (r, l) holds sorted position starts[lane0+l] + r when
+    r < occ, else an invalid slot (valid = 0)."""
+    spec = ops.f.spec
+    C = _C(ops)
+    RP = rows_prep(ops)
+    W = cap * lsub
+    lanes = lane0 + jnp.arange(lsub, dtype=jnp.uint32)
+    lane_ok = lanes < lane_hi
+    lane_ix = jnp.where(lane_ok, lanes, 0).astype(jnp.int32)
+    st = jnp.take(starts_s, lane_ix)
+    oc = jnp.where(lane_ok, jnp.take(occ_s, lane_ix), 0)
+    rr = jnp.arange(cap, dtype=jnp.uint32)[:, None]
+    valid = rr < oc[None, :]
+    pos = jnp.where(valid, st[None, :] + rr, 0).astype(jnp.int32)
+    fenc = jnp.take(fenc_sorted, pos.reshape(-1))
+    pt = (fenc >> 1).astype(jnp.int32)
+    sign = (fenc & 1).astype(jnp.uint32)
+    coords = jnp.take(packed, pt, axis=1)          # (C, W) packed pairs
+    x, y = _unpack_coords(C, coords)
+    yneg = limbs_sub_zero(spec, ops, y)
+    y = jnp.where(sign[None, :] != 0, yneg, y)
+    vrow = valid.reshape(1, W).astype(jnp.uint32)
+    pad = RP - 2 * C - 1
+    parts = [x, y, vrow]
+    if pad:
+        parts.append(jnp.zeros((pad, W), jnp.uint32))
+    return jnp.concatenate(parts, axis=0)
+
+
+def limbs_sub_zero(spec, ops, y):
+    """-y mod p on (C, W) limb rows (handles Fq and stacked Fq2 rows:
+    negation is per-coefficient, and the rows are plain L-limb slabs)."""
+    C = y.shape[0]
+    out = []
+    for b in range(C // spec.L):
+        slab = y[b * spec.L : (b + 1) * spec.L]
+        out.append(limbs.sub(spec, jnp.zeros_like(slab), slab))
+    return jnp.concatenate(out, axis=0)
+
+
+def _fold_group(ops: CurveOps, prep, cap: int, mode: str):
+    """Rank-major prep (RP, cap*lsub) -> per-lane Jacobian (3C, lsub)."""
+    interp = mode == "interpret"
+    if mode == "jnp":
+        x = pallas_fold.level0_fold_jnp(ops, prep)
+        while x.shape[-1] > prep.shape[-1] // cap:
+            x = pallas_fold.pair_fold_jnp(ops, x)
+        return x
+    x = pallas_fold.level0_fold(ops, prep, interp)
+    while x.shape[-1] > prep.shape[-1] // cap:
+        x = pallas_fold.pair_fold(ops, x, interp)
+    return x
+
+
+def _heavy_lane_total(ops: CurveOps, lane: int, occ: int, starts_s, occ_s,
+                      fenc_sorted, packed, mode: str):
+    """Per-lane path for buckets too occupied for group layouts: fold a
+    single rank vector of width pow2ceil(occ) down to one point."""
+    V = max(2 * TILE, 1 << (occ - 1).bit_length())
+    prep = _gather_group(
+        ops, V, 1, jnp.uint32(lane), jnp.uint32(lane + 1),
+        starts_s, occ_s, fenc_sorted, packed
+    )
+    if mode == "jnp":
+        x = pallas_fold.level0_fold_jnp(ops, prep)
+        while x.shape[-1] > 1:
+            x = pallas_fold.pair_fold_jnp(ops, x)
+        return x
+    interp = mode == "interpret"
+    x = pallas_fold.level0_fold(ops, prep, interp)
+    while x.shape[-1] > TILE:
+        x = pallas_fold.pair_fold(ops, x, interp)
+    red = pallas_fold.butterfly_reduce(ops, x, interp)
+    return red[:, :1]
+
+
+def _pow2ceil(v: int) -> int:
+    return 1 << max(v - 1, 0).bit_length() if v > 1 else 1
+
+
+def msm3(ops: CurveOps, points, scalar_limbs, c: int | None = None,
+         mode: str | None = None, point_cls=None, verbose: bool = False):
+    """MSM Σ_i scalars_i · points_i (drop-in for msm2.msm2).
+
+    points: Jacobian batch with Z ∈ {0,1} or PackedBases; scalar_limbs:
+    (L, n) plain-form u32 limbs. Returns a Jacobian batch (1,) or, with
+    ``point_cls``, the host affine point (host-side window fold)."""
+    import time as _time
+
+    _t0 = _time.time()
+
+    def _log(msg):
+        if verbose:
+            print(f"[msm3 +{_time.time() - _t0:.1f}s] {msg}", flush=True)
+
+    scalar_limbs = jnp.asarray(scalar_limbs)
+    n = int(scalar_limbs.shape[-1])
+    L = int(scalar_limbs.shape[0])
+    if mode is None:
+        mode = msm2.default_mode()
+    if c is None:
+        c = msm2.default_c(n)
+    nw = num_windows(L, c)
+    half = 1 << (c - 1)
+    W0 = nw * half
+    assert W0 % TILE == 0, (W0, TILE)
+    C = _C(ops)
+    RJ = rows_jac(ops)
+
+    if isinstance(points, PackedBases):
+        packed_pts, inf_mask = points.packed, points.inf_mask
+    else:
+        packed_pts, inf_mask = msm2.pack_points(ops, points)
+
+    levels = msm2._width_levels(W0)
+    fenc_sorted, starts_s, occ_s, lane_order, _probe = msm2._schedule(
+        L, c, nw, half, W0, len(levels), scalar_limbs, inf_mask
+    )
+    counts = np.asarray(
+        jax.device_get(_occ_counts(occ_s, MAX_LOG_CAP))
+    )
+    groups = _plan_groups(counts)
+    _log(f"schedule done; groups={groups}")
+
+    heavy_cap_limit = CHUNK_SLOTS // TILE  # cap beyond which slots blow up
+    results = []  # (lane_lo, lane_hi, (3C, n_lanes) array), sorted order
+    heavy_cols = []
+
+    for cap, lo, hi in groups:
+        lg = hi - lo
+        if mode == "jnp":
+            # CPU twins have no tile-alignment constraints: one exact
+            # chunk per group, no padding, no heavy path
+            prep = _gather_group(
+                ops, cap, lg, jnp.uint32(lo), jnp.uint32(hi),
+                starts_s, occ_s, fenc_sorted, packed_pts
+            )
+            results.append((lo, hi, _fold_group(ops, prep, cap, mode)))
+            continue
+        if cap > heavy_cap_limit or lg * max(2 * TILE, cap) < cap * TILE:
+            # per-lane heavy/sparse path
+            occ_host = np.asarray(
+                jax.device_get(
+                    jax.lax.dynamic_slice_in_dim(occ_s, lo, lg)
+                )
+            )
+            cols = []
+            for j in range(lg):
+                cols.append(
+                    _heavy_lane_total(
+                        ops, lo + j, int(occ_host[j]), starts_s, occ_s,
+                        fenc_sorted, packed_pts, mode
+                    )
+                )
+            results.append((lo, hi, jnp.concatenate(cols, axis=1)))
+            heavy_cols.append(lg)
+            continue
+        # lsub >= TILE: every fold level (down to width lsub) must stay
+        # tile-aligned for the Pallas kernels
+        lsub = max(TILE, min(_pow2ceil(lg), CHUNK_SLOTS // cap))
+        off = lo
+        chunks = []
+        while off < hi:
+            prep = _gather_group(
+                ops, cap, lsub, jnp.uint32(off), jnp.uint32(hi),
+                starts_s, occ_s, fenc_sorted, packed_pts
+            )
+            chunks.append(_fold_group(ops, prep, cap, mode))
+            off += lsub
+        arr = chunks[0] if len(chunks) == 1 else jnp.concatenate(
+            chunks, axis=1
+        )
+        results.append((lo, hi, arr[:, :lg]))
+
+    if verbose:
+        for _, _, a in results:
+            jax.block_until_ready(a)
+        _log(f"folds done ({len(results)} groups, heavy={heavy_cols})")
+
+    # assemble dense lanes in occupancy-sorted order; empty lanes = inf
+    results.sort(key=lambda t: t[0])
+    parts = []
+    pos = 0
+    for lo, hi, arr in results:
+        assert lo == pos, (lo, pos)
+        parts.append(arr)
+        pos = hi
+    if pos < W0:
+        parts.append(jnp.zeros((RJ, W0 - pos), jnp.uint32))
+    acc_sorted = jnp.concatenate(parts, axis=1)
+
+    tot = _totals(ops, nw, half, mode, acc_sorted, lane_order)
+    if verbose:
+        jax.block_until_ready(tot)
+        _log("bucket totals done")
+
+    if point_cls is not None:
+        from .curve import jacobian_to_host
+
+        tot_pts = jacobian_to_host(ops, msm2._unpack1(ops, tot), point_cls)
+        return msm2.fold_host(tot_pts, nw, c, point_cls.identity())
+    res = msm2._fold_windows(ops, nw, c, tot)
+    return msm2._unpack1(ops, res)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _totals(ops: CurveOps, nw: int, half: int, mode: str,
+            acc_sorted, lane_order):
+    inv_order = jnp.argsort(lane_order)
+    acc_dense = jnp.take(acc_sorted, inv_order, axis=1)
+    return msm2.bucket_totals(
+        ops, acc_dense, nw, half, "pallas" if mode == "pallas" else mode
+    )

@@ -1,0 +1,242 @@
+"""Pallas TPU kernels: pairwise tree-fold point reduction for msm3.
+
+The msm2 accumulate rounds (ops/pallas_madd.py, ops/pallas_affine.py)
+pay one random point-gather per round — measured at ~60 M indices/s on
+this chip, that gather IS the MSM runtime. msm3 gathers every point
+exactly once into an occupancy-grouped rank-major layout and then
+reduces each bucket with contiguous pairwise folds:
+
+  fold j:   out[:, i] = in[:, i] + in[:, i + W/2]      (rank-major, so
+            slot (rank r, lane l) combines with (r + cap/2, l))
+
+Every fold is a full-width branchless Jacobian add (ops/curve.py
+formulas via the kernel field ops of ops/pallas_scan.py); empty/padded
+slots are encoded as Z = 0 and need no flag machinery — the add's
+identity masking handles them. log2(cap) sequential levels replace the
+occupancy-many sequential rounds of msm2 (/root/reference/src/
+multiexp.rs:242-265 is the serial scatter both replace).
+
+Kernels:
+* ``level0_fold``  — (RP, W) gathered affine prep -> (3C, W/2) Jacobian:
+  converts (x, y, valid) to points (z = valid ? 1 : 0) and adds pairs.
+* ``pair_fold``    — (3C, W) Jacobian -> (3C, W/2).
+* ``butterfly_reduce`` — (3C, 2048) -> (3C, 128) with every lane holding
+  the total (roll-add doubling); finishes the per-lane heavy path.
+
+Both halves of each input are passed as two BlockSpecs over the SAME
+array (index maps offset by half the grid) — no XLA-side slicing copies.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .curve import CurveOps
+from .pallas_scan import _kernel_curve_ops, _C
+
+TILE = 2048
+
+
+def _pad8(r: int) -> int:
+    return (r + 7) & ~7
+
+
+def rows_prep(ops: CurveOps) -> int:
+    """Gathered-prep rows: x (C) + y (C) + valid flag, padded."""
+    return _pad8(2 * _C(ops) + 1)
+
+
+def rows_jac(ops: CurveOps) -> int:
+    return 3 * _C(ops)  # 72 (G1) / 144 (G2), both multiples of 8
+
+
+def _consts(ops: CurveOps):
+    spec = ops.f.spec
+    p_arr = jnp.asarray(spec.p_limbs.reshape(spec.L, 1))
+    one_arr = jnp.asarray(spec.one_mont.reshape(spec.L, 1))
+    return spec, p_arr, one_arr
+
+
+def _read_point(ops: CurveOps, kops, C, ref):
+    cs = ops.f.coeff_shape
+    x = ref[0:C].reshape(cs + (TILE,))
+    y = ref[C : 2 * C].reshape(cs + (TILE,))
+    v = ref[2 * C]
+    f = kops.f
+    z = f.select(v != 0, f.one((TILE,)), f.zeros((TILE,)))
+    return (x, y, z)
+
+
+def _read_jac(ops: CurveOps, C, ref):
+    cs = ops.f.coeff_shape
+    return (
+        ref[0:C].reshape(cs + (TILE,)),
+        ref[C : 2 * C].reshape(cs + (TILE,)),
+        ref[2 * C : 3 * C].reshape(cs + (TILE,)),
+    )
+
+
+def _write_jac(C, o_ref, r):
+    o_ref[:] = jnp.concatenate([c.reshape(C, TILE) for c in r], axis=0)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def level0_fold(ops: CurveOps, prep, interpret: bool = False):
+    """(RP, W) gathered affine prep -> (3C, W/2) Jacobian pair sums."""
+    spec, p_arr, one_arr = _consts(ops)
+    C = _C(ops)
+    RP = rows_prep(ops)
+    RJ = rows_jac(ops)
+    W = prep.shape[-1]
+    M = W // 2
+    assert M % TILE == 0, (W, TILE)
+    nb = M // TILE
+
+    def kernel(p_ref, one_ref, a_ref, b_ref, o_ref):
+        kops = _kernel_curve_ops(ops, p_ref[:], one_ref[:])
+        r = kops.add(
+            _read_point(ops, kops, C, a_ref), _read_point(ops, kops, C, b_ref)
+        )
+        _write_jac(C, o_ref, r)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((RJ, M), jnp.uint32),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((spec.L, 1), lambda i: (0, 0)),
+            pl.BlockSpec((spec.L, 1), lambda i: (0, 0)),
+            pl.BlockSpec((RP, TILE), lambda i: (0, i)),
+            pl.BlockSpec((RP, TILE), lambda i: (0, i + nb)),
+        ],
+        out_specs=pl.BlockSpec((RJ, TILE), lambda i: (0, i)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(p_arr, one_arr, prep, prep)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def pair_fold(ops: CurveOps, jac, interpret: bool = False):
+    """(3C, W) Jacobian -> (3C, W/2): out[i] = in[i] + in[i + W/2]."""
+    spec, p_arr, one_arr = _consts(ops)
+    C = _C(ops)
+    RJ = rows_jac(ops)
+    W = jac.shape[-1]
+    M = W // 2
+    assert M % TILE == 0, (W, TILE)
+    nb = M // TILE
+
+    def kernel(p_ref, one_ref, a_ref, b_ref, o_ref):
+        kops = _kernel_curve_ops(ops, p_ref[:], one_ref[:])
+        r = kops.add(_read_jac(ops, C, a_ref), _read_jac(ops, C, b_ref))
+        _write_jac(C, o_ref, r)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((RJ, M), jnp.uint32),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((spec.L, 1), lambda i: (0, 0)),
+            pl.BlockSpec((spec.L, 1), lambda i: (0, 0)),
+            pl.BlockSpec((RJ, TILE), lambda i: (0, i)),
+            pl.BlockSpec((RJ, TILE), lambda i: (0, i + nb)),
+        ],
+        out_specs=pl.BlockSpec((RJ, TILE), lambda i: (0, i)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(p_arr, one_arr, jac, jac)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def butterfly_reduce(ops: CurveOps, jac, interpret: bool = False):
+    """(3C, 2048) Jacobian -> (3C, 128), every lane = sum of all lanes.
+
+    Roll-add doubling: after step s every lane holds the sum of a
+    2^(s+1)-lane window; 11 steps cover 2048."""
+    spec, p_arr, one_arr = _consts(ops)
+    C = _C(ops)
+    RJ = rows_jac(ops)
+    assert jac.shape[-1] == TILE
+
+    def kernel(p_ref, one_ref, a_ref, o_ref):
+        kops = _kernel_curve_ops(ops, p_ref[:], one_ref[:])
+        v = _read_jac(ops, C, a_ref)
+        for s in range(11):
+            rolled = tuple(
+                pltpu.roll(c, 1 << s, axis=c.ndim - 1) for c in v
+            )
+            v = kops.add(v, rolled)
+        o_ref[:] = jnp.concatenate(
+            [c[..., :128].reshape(C, 128) for c in v], axis=0
+        )
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((RJ, 128), jnp.uint32),
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((spec.L, 1), lambda i: (0, 0)),
+            pl.BlockSpec((spec.L, 1), lambda i: (0, 0)),
+            pl.BlockSpec((RJ, TILE), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((RJ, 128), lambda i: (0, 0)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(p_arr, one_arr, jac)
+
+
+# ---------------------------------------------------------------------------
+# jnp twins (CPU reference / tests)
+# ---------------------------------------------------------------------------
+
+
+def _split_prep(ops: CurveOps, prep):
+    C = _C(ops)
+    W = prep.shape[-1]
+    cs = ops.f.coeff_shape + (W,)
+    f = ops.f
+    x = prep[0:C].reshape(cs)
+    y = prep[C : 2 * C].reshape(cs)
+    v = prep[2 * C]
+    z = f.select(v != 0, f.one((W,)), f.zeros((W,)))
+    return (x, y, z)
+
+
+def level0_fold_jnp(ops: CurveOps, prep):
+    C = _C(ops)
+    W = prep.shape[-1]
+    M = W // 2
+    pt = _split_prep(ops, prep)
+    a = tuple(c[..., :M] for c in pt)
+    b = tuple(c[..., M:] for c in pt)
+    r = ops.add(a, b)
+    return jnp.concatenate([c.reshape(C, M) for c in r], axis=0)
+
+
+def pair_fold_jnp(ops: CurveOps, jac):
+    C = _C(ops)
+    W = jac.shape[-1]
+    M = W // 2
+    cs = ops.f.coeff_shape + (M,)
+
+    def part(lo, hi):
+        return (
+            jac[0:C, lo:hi].reshape(cs),
+            jac[C : 2 * C, lo:hi].reshape(cs),
+            jac[2 * C :, lo:hi].reshape(cs),
+        )
+
+    r = ops.add(part(0, M), part(M, W))
+    return jnp.concatenate([c.reshape(C, M) for c in r], axis=0)

@@ -32,16 +32,36 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # safe on CPU (the axon TPU backend stalls on cache serialization, so
 # bellman_tpu.__init__ leaves it opt-in there).
 #
-# READ-mostly: writing the very largest executables (the 24-limb Fq2 G2
-# MSM at full window width) segfaults inside the cache's zstandard
-# compression and kills the whole test process, so by default writes are
-# disabled (min_compile_time effectively infinite) and only pre-existing
-# entries are read. Set BELLMAN_TPU_CPU_CACHE_WRITE=1 to (re)populate the
-# cache when running suites that don't touch the G2 MSM.
+# Writing the very largest executables (the 24-limb Fq2 G2 MSM at full
+# window width) segfaults inside zstandard's compressor, so the cache
+# codec is patched to zlib for writes (reads sniff the zstd magic so
+# pre-existing zstd entries stay readable). Verified on the exact
+# executable that used to kill the process. Set
+# BELLMAN_TPU_CPU_CACHE_OFF=1 to disable cache writes entirely.
+import zlib  # noqa: E402
+
+from jax._src import compilation_cache as _cc  # noqa: E402
+
+
+def _compress_zlib(executable: bytes) -> bytes:
+    return zlib.compress(executable, 1)
+
+
+def _decompress_sniff(executable: bytes) -> bytes:
+    if executable[:4] == b"\x28\xb5\x2f\xfd":  # zstd frame magic
+        if getattr(_cc, "zstd", None):
+            return _cc.zstd.decompress(executable)
+        return _cc.zstandard.ZstdDecompressor().decompress(executable)
+    return zlib.decompress(executable)
+
+
+_cc.compress_executable = _compress_zlib
+_cc.decompress_executable = _decompress_sniff
+
 _cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu")
 os.makedirs(_cache_dir, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
-if os.environ.get("BELLMAN_TPU_CPU_CACHE_WRITE"):
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
-else:
+if os.environ.get("BELLMAN_TPU_CPU_CACHE_OFF"):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+else:
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

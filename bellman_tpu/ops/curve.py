@@ -259,8 +259,10 @@ def g2_to_device(points) -> tuple:
 
 
 def jacobian_to_host(ops: CurveOps, p, point_cls):
-    """Device Jacobian batch -> host affine points (host inversion).
+    """Device Jacobian batch -> host affine points.
 
+    Z inversions use the Montgomery batch trick (one field inversion +
+    3(n-1) multiplies) so pulling hundreds of points costs one invert.
     point_cls: host G1Affine / G2Affine class (FIELD is Fq or Fq2)."""
     f = ops.f
     xs = f.from_mont_host(p[0])
@@ -271,13 +273,31 @@ def jacobian_to_host(ops: CurveOps, p, point_cls):
     def wrap(v):
         return fld(*v) if isinstance(v, tuple) else fld(v)
 
+    zes = [wrap(z) for z in zs]
+    # batch inversion of the nonzero Zs
+    nz = [(i, z) for i, z in enumerate(zes) if not z.is_zero()]
+    invs = {}
+    if nz:
+        prefix = []
+        acc = None
+        for _, z in nz:
+            acc = z if acc is None else acc * z
+            prefix.append(acc)
+        inv_acc = prefix[-1].invert()
+        for j in range(len(nz) - 1, -1, -1):
+            i, z = nz[j]
+            if j == 0:
+                invs[i] = inv_acc
+            else:
+                invs[i] = inv_acc * prefix[j - 1]
+                inv_acc = inv_acc * z
+
     out = []
-    for x, y, z in zip(xs, ys, zs):
-        ze = wrap(z)
+    for i, (x, y, ze) in enumerate(zip(xs, ys, zes)):
         if ze.is_zero():
             out.append(point_cls.identity())
             continue
-        zinv = ze.invert()
+        zinv = invs[i]
         zinv2 = zinv.square()
         xe, ye = wrap(x), wrap(y)
         out.append(point_cls(xe * zinv2, ye * zinv2 * zinv))

@@ -134,6 +134,19 @@ def _fold_group(ops: CurveOps, prep, cap: int, mode: str):
     return x
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _group_pipeline(ops: CurveOps, cap: int, lsub: int, mode: str,
+                    lane0, lane_hi, starts_s, occ_s, fenc_sorted, packed):
+    """Gather + all fold levels for one group chunk as ONE dispatch
+    (per-call dispatch latency through the axon tunnel is ~10 ms; a
+    chunk would otherwise cost 1 + log2(cap) round trips)."""
+    prep = _gather_group(
+        ops, cap, lsub, lane0, lane_hi, starts_s, occ_s, fenc_sorted,
+        packed
+    )
+    return _fold_group(ops, prep, cap, mode)
+
+
 def _heavy_lane_total(ops: CurveOps, lane: int, occ: int, starts_s, occ_s,
                       fenc_sorted, packed, mode: str):
     """Per-lane path for buckets too occupied for group layouts: fold a
@@ -213,11 +226,10 @@ def msm3(ops: CurveOps, points, scalar_limbs, c: int | None = None,
         if mode == "jnp":
             # CPU twins have no tile-alignment constraints: one exact
             # chunk per group, no padding, no heavy path
-            prep = _gather_group(
-                ops, cap, lg, jnp.uint32(lo), jnp.uint32(hi),
+            results.append((lo, hi, _group_pipeline(
+                ops, cap, lg, mode, jnp.uint32(lo), jnp.uint32(hi),
                 starts_s, occ_s, fenc_sorted, packed_pts
-            )
-            results.append((lo, hi, _fold_group(ops, prep, cap, mode)))
+            )))
             continue
         if cap > heavy_cap_limit or lg * max(2 * TILE, cap) < cap * TILE:
             # per-lane heavy/sparse path
@@ -243,11 +255,12 @@ def msm3(ops: CurveOps, points, scalar_limbs, c: int | None = None,
         off = lo
         chunks = []
         while off < hi:
-            prep = _gather_group(
-                ops, cap, lsub, jnp.uint32(off), jnp.uint32(hi),
-                starts_s, occ_s, fenc_sorted, packed_pts
+            chunks.append(
+                _group_pipeline(
+                    ops, cap, lsub, mode, jnp.uint32(off), jnp.uint32(hi),
+                    starts_s, occ_s, fenc_sorted, packed_pts
+                )
             )
-            chunks.append(_fold_group(ops, prep, cap, mode))
             off += lsub
         arr = chunks[0] if len(chunks) == 1 else jnp.concatenate(
             chunks, axis=1
@@ -271,16 +284,20 @@ def msm3(ops: CurveOps, points, scalar_limbs, c: int | None = None,
         parts.append(jnp.zeros((RJ, W0 - pos), jnp.uint32))
     acc_sorted = jnp.concatenate(parts, axis=1)
 
+    if point_cls is not None:
+        # bit-weighted totals: T_w = Σ_k 2^k · U_{w,k} with
+        # U_{w,k} = Σ_{b: bit k of b set} S_{w,b} — replaces the
+        # sequential bucket suffix scans with log-depth 3D folds
+        U = _totals_bits(ops, nw, half, c, mode, acc_sorted, lane_order)
+        if verbose:
+            jax.block_until_ready(U)
+            _log("bit-weighted window totals done")
+        return _finish_host(ops, U, nw, c, point_cls)
+
     tot = _totals(ops, nw, half, mode, acc_sorted, lane_order)
     if verbose:
         jax.block_until_ready(tot)
         _log("bucket totals done")
-
-    if point_cls is not None:
-        from .curve import jacobian_to_host
-
-        tot_pts = jacobian_to_host(ops, msm2._unpack1(ops, tot), point_cls)
-        return msm2.fold_host(tot_pts, nw, c, point_cls.identity())
     res = msm2._fold_windows(ops, nw, c, tot)
     return msm2._unpack1(ops, res)
 
@@ -293,3 +310,70 @@ def _totals(ops: CurveOps, nw: int, half: int, mode: str,
     return msm2.bucket_totals(
         ops, acc_dense, nw, half, "pallas" if mode == "pallas" else mode
     )
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _totals_bits(ops: CurveOps, nw: int, half: int, c: int, mode: str,
+                 acc_sorted, lane_order):
+    """Per-(window, bit) masked bucket sums U_{w,k} as (3C, K, 128)
+    with window w in lane w of each k plane.
+
+    Layout: b-major lanes (lb = (b-1)·nw + w) so pairwise folds of the
+    lane axis always combine same-window lanes; K = c bit planes with
+    Z masked to 0 where bit k of b is clear."""
+    C = _C(ops)
+    RJ = rows_jac(ops)
+    W0 = nw * half
+    K = c
+
+    # b-major un-permute: dense_b[:, lb] = bucket sum of (w, b)
+    inv_order = jnp.argsort(lane_order)
+    lb = jnp.arange(W0, dtype=jnp.int32)
+    w = lb % nw
+    bm1 = lb // nw
+    perm = jnp.take(inv_order, w * half + bm1)
+    dense_b = jnp.take(acc_sorted, perm, axis=1)      # (3C, W0)
+
+    b = (bm1 + 1).astype(jnp.uint32)                  # bucket weight
+    k = jnp.arange(K, dtype=jnp.uint32)[:, None]
+    bits = ((b[None, :] >> k) & 1) != 0               # (K, W0)
+    xy = jnp.broadcast_to(
+        dense_b[: 2 * C, None, :], (2 * C, K, W0)
+    )
+    z = jnp.where(bits[None, :, :], dense_b[2 * C :, None, :], 0)
+    z = jnp.broadcast_to(z, (C, K, W0))
+    planes = jnp.concatenate([xy, z], axis=0)          # (RJ, K, W0)
+
+    if mode == "pallas":
+        while planes.shape[-1] > 128:
+            planes = pallas_fold.pair_fold3(ops, planes)
+        return pallas_fold.window_reduce(ops, planes, nw)
+    while planes.shape[-1] > 128 and planes.shape[-1] % 2 == 0:
+        planes = pallas_fold.pair_fold3_jnp(ops, planes)
+    # CPU path: W0 can be small; pad lanes (as infinity) up to 128
+    if planes.shape[-1] < 128:
+        pad = 128 // planes.shape[-1]
+        reps = [planes] + [
+            jnp.zeros_like(planes) for _ in range(pad - 1)
+        ]
+        # window lanes repeat every nw: tile keeps (b_group, w) layout
+        planes = jnp.concatenate(reps, axis=-1)
+    return pallas_fold.window_reduce_jnp(ops, planes, nw)
+
+
+def _finish_host(ops: CurveOps, U, nw: int, c: int, point_cls):
+    """Host Horner over bit planes + MSB->LSB window fold."""
+    from .curve import jacobian_to_host
+
+    C = _C(ops)
+    K = U.shape[1]
+    Uw = U[:, :, :nw].reshape(U.shape[0], K * nw)     # (3C, K*nw)
+    pts = jacobian_to_host(ops, msm2._unpack1(ops, Uw), point_cls)
+    totals = []
+    for w in range(nw):
+        t = point_cls.identity()
+        for k in reversed(range(K)):
+            t = t.double()
+            t = t + pts[k * nw + w]
+        totals.append(t)
+    return msm2.fold_host(totals, nw, c, point_cls.identity())

@@ -240,3 +240,139 @@ def pair_fold_jnp(ops: CurveOps, jac):
 
     r = ops.add(part(0, M), part(M, W))
     return jnp.concatenate([c.reshape(C, M) for c in r], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# 3D folds for the bit-weighted window-totals pass (msm3._totals_bits):
+# array (3C, K, W) of K independent b-major lane planes; fold the W axis.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def pair_fold3(ops: CurveOps, jac, interpret: bool = False):
+    """(3C, K, W) -> (3C, K, W/2): out[k, i] = in[k, i] + in[k, i+W/2]."""
+    spec, p_arr, one_arr = _consts(ops)
+    C = _C(ops)
+    RJ = rows_jac(ops)
+    K, W = jac.shape[1], jac.shape[2]
+    M = W // 2
+    BW = min(M, TILE)
+    assert M % BW == 0 and BW % 128 == 0, (W, BW)
+    nb = M // BW
+
+    def kernel(p_ref, one_ref, a_ref, b_ref, o_ref):
+        kops = _kernel_curve_ops(ops, p_ref[:], one_ref[:])
+
+        def rd(ref):
+            cs = ops.f.coeff_shape
+            v = ref[:].reshape(RJ, BW)
+            return (
+                v[0:C].reshape(cs + (BW,)),
+                v[C : 2 * C].reshape(cs + (BW,)),
+                v[2 * C :].reshape(cs + (BW,)),
+            )
+
+        r = kops.add(rd(a_ref), rd(b_ref))
+        o_ref[:] = jnp.concatenate(
+            [c.reshape(C, BW) for c in r], axis=0
+        ).reshape(RJ, 1, BW)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((RJ, K, M), jnp.uint32),
+        grid=(K, nb),
+        in_specs=[
+            pl.BlockSpec((spec.L, 1), lambda k, i: (0, 0)),
+            pl.BlockSpec((spec.L, 1), lambda k, i: (0, 0)),
+            pl.BlockSpec((RJ, 1, BW), lambda k, i: (0, k, i)),
+            pl.BlockSpec((RJ, 1, BW), lambda k, i: (0, k, i + nb)),
+        ],
+        out_specs=pl.BlockSpec((RJ, 1, BW), lambda k, i: (0, k, i)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(p_arr, one_arr, jac, jac)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def window_reduce(ops: CurveOps, jac, nw: int, interpret: bool = False):
+    """(3C, K, 128) b-major planes -> per-window sums in lanes [0, nw).
+
+    Lane layout within a plane is (b_group * nw + w); roll-left strides
+    nw, 2nw, ... accumulate all b groups onto the first nw lanes."""
+    spec, p_arr, one_arr = _consts(ops)
+    C = _C(ops)
+    RJ = rows_jac(ops)
+    K, W = jac.shape[1], jac.shape[2]
+    assert W == 128 and 128 % nw == 0
+
+    def kernel(p_ref, one_ref, a_ref, o_ref):
+        kops = _kernel_curve_ops(ops, p_ref[:], one_ref[:])
+        cs = ops.f.coeff_shape
+        v0 = a_ref[:].reshape(RJ, W)
+        v = (
+            v0[0:C].reshape(cs + (W,)),
+            v0[C : 2 * C].reshape(cs + (W,)),
+            v0[2 * C :].reshape(cs + (W,)),
+        )
+        stride = nw
+        while stride < W:
+            rolled = tuple(
+                pltpu.roll(c, W - stride, axis=c.ndim - 1) for c in v
+            )
+            v = kops.add(v, rolled)
+            stride *= 2
+        o_ref[:] = jnp.concatenate(
+            [c.reshape(C, W) for c in v], axis=0
+        ).reshape(RJ, 1, W)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((RJ, K, W), jnp.uint32),
+        grid=(K,),
+        in_specs=[
+            pl.BlockSpec((spec.L, 1), lambda k: (0, 0)),
+            pl.BlockSpec((spec.L, 1), lambda k: (0, 0)),
+            pl.BlockSpec((RJ, 1, W), lambda k: (0, k, 0)),
+        ],
+        out_specs=pl.BlockSpec((RJ, 1, W), lambda k: (0, k, 0)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(p_arr, one_arr, jac)
+
+
+def pair_fold3_jnp(ops: CurveOps, jac):
+    C = _C(ops)
+    RJ, K, W = jac.shape
+    M = W // 2
+    cs = ops.f.coeff_shape + (K, M)
+
+    def part(lo, hi):
+        return (
+            jac[0:C, :, lo:hi].reshape(cs),
+            jac[C : 2 * C, :, lo:hi].reshape(cs),
+            jac[2 * C :, :, lo:hi].reshape(cs),
+        )
+
+    r = ops.add(part(0, M), part(M, W))
+    return jnp.concatenate([c.reshape(C, K, M) for c in r], axis=0)
+
+
+def window_reduce_jnp(ops: CurveOps, jac, nw: int):
+    C = _C(ops)
+    RJ, K, W = jac.shape
+    cs = ops.f.coeff_shape + (K, W)
+    v = (
+        jac[0:C].reshape(cs),
+        jac[C : 2 * C].reshape(cs),
+        jac[2 * C :].reshape(cs),
+    )
+    stride = nw
+    while stride < W:
+        rolled = tuple(jnp.roll(c, -stride, axis=c.ndim - 1) for c in v)
+        v = ops.add(v, rolled)
+        stride *= 2
+    return jnp.concatenate([c.reshape(C, K, W) for c in v], axis=0)

@@ -78,6 +78,9 @@ def main():
         for _ in range(args.iters):
             r = fn(ops, packed, sl, c=args.c, point_cls=cls)
         dt = (time.time() - t0) / args.iters
+        print(f"[{name} 2^{size_log}] steady-state phase breakdown:",
+              flush=True)
+        fn(ops, packed, sl, c=args.c, point_cls=cls, verbose=True)
         print(
             f"{name} {'msm3' if args.v3 else 'msm2'} 2^{size_log} c={args.c}: {dt*1e3:9.1f} ms  "
             f"{n/dt/1e6:7.3f} M points/s  "

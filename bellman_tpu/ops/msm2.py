@@ -115,9 +115,21 @@ def pack_points(ops: CurveOps, points):
 class PackedBases:
     """Pre-packed MSM bases: pack once, reuse across msm2 calls."""
 
-    def __init__(self, ops: CurveOps, points):
-        self.packed, self.inf_mask = pack_points(ops, points)
+    def __init__(self, ops: CurveOps, points, _packed=None, _inf=None):
+        if points is not None:
+            self.packed, self.inf_mask = pack_points(ops, points)
+        else:
+            self.packed, self.inf_mask = _packed, _inf
         self.n = int(self.packed.shape[-1])
+
+    def slice(self, start: int, stop: int) -> "PackedBases":
+        """View of bases [start, stop) — no re-packing (the prover's
+        ParameterSource offset splitting, groth16/src/lib.rs:435-474)."""
+        return PackedBases(
+            None, None,
+            _packed=self.packed[:, start:stop],
+            _inf=self.inf_mask[start:stop],
+        )
 
 
 def _unpack_coords(C, packed):

@@ -173,6 +173,20 @@ def _pow2ceil(v: int) -> int:
     return 1 << max(v - 1, 0).bit_length() if v > 1 else 1
 
 
+class Msm3Pending:
+    """Dispatched-but-unfinished MSM: the device bit-weighted window
+    totals U plus the fold metadata. The prover launches all 8 MSMs as
+    pending handles and blocks only at proof assembly (the Waiter-future
+    overlap of /root/reference/groth16/src/prover.rs:244-354)."""
+
+    __slots__ = ("U", "nw", "c")
+
+    def __init__(self, U, nw: int, c: int):
+        self.U = U
+        self.nw = nw
+        self.c = c
+
+
 def msm3(ops: CurveOps, points, scalar_limbs, c: int | None = None,
          mode: str | None = None, point_cls=None, verbose: bool = False):
     """MSM Σ_i scalars_i · points_i (drop-in for msm2.msm2).
@@ -180,6 +194,29 @@ def msm3(ops: CurveOps, points, scalar_limbs, c: int | None = None,
     points: Jacobian batch with Z ∈ {0,1} or PackedBases; scalar_limbs:
     (L, n) plain-form u32 limbs. Returns a Jacobian batch (1,) or, with
     ``point_cls``, the host affine point (host-side window fold)."""
+    if point_cls is not None:
+        pending = msm3_start(ops, points, scalar_limbs, c=c, mode=mode,
+                             verbose=verbose)
+        return msm3_finish(ops, pending, point_cls)
+    return _msm3_run(ops, points, scalar_limbs, c, mode, None, verbose)
+
+
+def msm3_start(ops: CurveOps, points, scalar_limbs, c: int | None = None,
+               mode: str | None = None,
+               verbose: bool = False) -> Msm3Pending:
+    """Dispatch the full device pipeline; return without blocking on the
+    result (XLA dispatch is async — only the tiny schedule probe syncs)."""
+    return _msm3_run(ops, points, scalar_limbs, c, mode, "pending", verbose)
+
+
+def msm3_finish(ops: CurveOps, pending: Msm3Pending, point_cls):
+    """Block on a pending MSM and finish host-side (Horner over bit
+    planes + MSB->LSB window fold)."""
+    return _finish_host(ops, pending.U, pending.nw, pending.c, point_cls)
+
+
+def _msm3_run(ops: CurveOps, points, scalar_limbs, c, mode, finish,
+              verbose: bool = False):
     import time as _time
 
     _t0 = _time.time()
@@ -284,7 +321,7 @@ def msm3(ops: CurveOps, points, scalar_limbs, c: int | None = None,
         parts.append(jnp.zeros((RJ, W0 - pos), jnp.uint32))
     acc_sorted = jnp.concatenate(parts, axis=1)
 
-    if point_cls is not None:
+    if finish == "pending":
         # bit-weighted totals: T_w = Σ_k 2^k · U_{w,k} with
         # U_{w,k} = Σ_{b: bit k of b set} S_{w,b} — replaces the
         # sequential bucket suffix scans with log-depth 3D folds
@@ -292,7 +329,7 @@ def msm3(ops: CurveOps, points, scalar_limbs, c: int | None = None,
         if verbose:
             jax.block_until_ready(U)
             _log("bit-weighted window totals done")
-        return _finish_host(ops, U, nw, c, point_cls)
+        return Msm3Pending(U, nw, c)
 
     tot = _totals(ops, nw, half, mode, acc_sorted, lane_order)
     if verbose:
@@ -337,17 +374,27 @@ def _totals_bits(ops: CurveOps, nw: int, half: int, c: int, mode: str,
     b = (bm1 + 1).astype(jnp.uint32)                  # bucket weight
     k = jnp.arange(K, dtype=jnp.uint32)[:, None]
     bits = ((b[None, :] >> k) & 1) != 0               # (K, W0)
+
+    if mode == "pallas":
+        # K-leading layout: each kernel block is one (RJ, lanes) plane
+        # (Mosaic wants the trailing block dims divisible by (8, 128))
+        xy = jnp.broadcast_to(
+            dense_b[None, : 2 * C, :], (K, 2 * C, W0)
+        )
+        z = jnp.where(bits[:, None, :], dense_b[None, 2 * C :, :], 0)
+        z = jnp.broadcast_to(z, (K, C, W0))
+        planes = jnp.concatenate([xy, z], axis=1)      # (K, RJ, W0)
+        while planes.shape[-1] > 128:
+            planes = pallas_fold.pair_fold3(ops, planes)
+        U = pallas_fold.window_reduce(ops, planes, nw)  # (K, RJ, 128)
+        return jnp.swapaxes(U, 0, 1)                    # (RJ, K, 128)
+
     xy = jnp.broadcast_to(
         dense_b[: 2 * C, None, :], (2 * C, K, W0)
     )
     z = jnp.where(bits[None, :, :], dense_b[2 * C :, None, :], 0)
     z = jnp.broadcast_to(z, (C, K, W0))
     planes = jnp.concatenate([xy, z], axis=0)          # (RJ, K, W0)
-
-    if mode == "pallas":
-        while planes.shape[-1] > 128:
-            planes = pallas_fold.pair_fold3(ops, planes)
-        return pallas_fold.window_reduce(ops, planes, nw)
     while planes.shape[-1] > 128 and planes.shape[-1] % 2 == 0:
         planes = pallas_fold.pair_fold3_jnp(ops, planes)
     # CPU path: W0 can be small; pad lanes (as infinity) up to 128

@@ -244,17 +244,19 @@ def pair_fold_jnp(ops: CurveOps, jac):
 
 # ---------------------------------------------------------------------------
 # 3D folds for the bit-weighted window-totals pass (msm3._totals_bits):
-# array (3C, K, W) of K independent b-major lane planes; fold the W axis.
+# array (K, 3C, W) of K independent b-major lane planes; fold the W axis.
+# K leads so each block's trailing dims are (rows, lanes) — Mosaic
+# requires the last two block dims divisible by (8, 128).
 # ---------------------------------------------------------------------------
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def pair_fold3(ops: CurveOps, jac, interpret: bool = False):
-    """(3C, K, W) -> (3C, K, W/2): out[k, i] = in[k, i] + in[k, i+W/2]."""
+    """(K, 3C, W) -> (K, 3C, W/2): out[k, i] = in[k, i] + in[k, i+W/2]."""
     spec, p_arr, one_arr = _consts(ops)
     C = _C(ops)
     RJ = rows_jac(ops)
-    K, W = jac.shape[1], jac.shape[2]
+    K, W = jac.shape[0], jac.shape[2]
     M = W // 2
     BW = min(M, TILE)
     assert M % BW == 0 and BW % 128 == 0, (W, BW)
@@ -275,19 +277,19 @@ def pair_fold3(ops: CurveOps, jac, interpret: bool = False):
         r = kops.add(rd(a_ref), rd(b_ref))
         o_ref[:] = jnp.concatenate(
             [c.reshape(C, BW) for c in r], axis=0
-        ).reshape(RJ, 1, BW)
+        ).reshape(1, RJ, BW)
 
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((RJ, K, M), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((K, RJ, M), jnp.uint32),
         grid=(K, nb),
         in_specs=[
             pl.BlockSpec((spec.L, 1), lambda k, i: (0, 0)),
             pl.BlockSpec((spec.L, 1), lambda k, i: (0, 0)),
-            pl.BlockSpec((RJ, 1, BW), lambda k, i: (0, k, i)),
-            pl.BlockSpec((RJ, 1, BW), lambda k, i: (0, k, i + nb)),
+            pl.BlockSpec((1, RJ, BW), lambda k, i: (k, 0, i)),
+            pl.BlockSpec((1, RJ, BW), lambda k, i: (k, 0, i + nb)),
         ],
-        out_specs=pl.BlockSpec((RJ, 1, BW), lambda k, i: (0, k, i)),
+        out_specs=pl.BlockSpec((1, RJ, BW), lambda k, i: (k, 0, i)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
@@ -297,14 +299,14 @@ def pair_fold3(ops: CurveOps, jac, interpret: bool = False):
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 3))
 def window_reduce(ops: CurveOps, jac, nw: int, interpret: bool = False):
-    """(3C, K, 128) b-major planes -> per-window sums in lanes [0, nw).
+    """(K, 3C, 128) b-major planes -> per-window sums in lanes [0, nw).
 
     Lane layout within a plane is (b_group * nw + w); roll-left strides
     nw, 2nw, ... accumulate all b groups onto the first nw lanes."""
     spec, p_arr, one_arr = _consts(ops)
     C = _C(ops)
     RJ = rows_jac(ops)
-    K, W = jac.shape[1], jac.shape[2]
+    K, W = jac.shape[0], jac.shape[2]
     assert W == 128 and 128 % nw == 0
 
     def kernel(p_ref, one_ref, a_ref, o_ref):
@@ -325,18 +327,18 @@ def window_reduce(ops: CurveOps, jac, nw: int, interpret: bool = False):
             stride *= 2
         o_ref[:] = jnp.concatenate(
             [c.reshape(C, W) for c in v], axis=0
-        ).reshape(RJ, 1, W)
+        ).reshape(1, RJ, W)
 
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((RJ, K, W), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((K, RJ, W), jnp.uint32),
         grid=(K,),
         in_specs=[
             pl.BlockSpec((spec.L, 1), lambda k: (0, 0)),
             pl.BlockSpec((spec.L, 1), lambda k: (0, 0)),
-            pl.BlockSpec((RJ, 1, W), lambda k: (0, k, 0)),
+            pl.BlockSpec((1, RJ, W), lambda k: (k, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((RJ, 1, W), lambda k: (0, k, 0)),
+        out_specs=pl.BlockSpec((1, RJ, W), lambda k: (k, 0, 0)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
@@ -345,6 +347,8 @@ def window_reduce(ops: CurveOps, jac, nw: int, interpret: bool = False):
 
 
 def pair_fold3_jnp(ops: CurveOps, jac):
+    """jnp twin on (3C, K, W) layout (limb rows leading, as ops.add
+    expects; the CPU path has no block-tiling constraint)."""
     C = _C(ops)
     RJ, K, W = jac.shape
     M = W // 2
@@ -362,6 +366,7 @@ def pair_fold3_jnp(ops: CurveOps, jac):
 
 
 def window_reduce_jnp(ops: CurveOps, jac, nw: int):
+    """jnp twin on (3C, K, W) layout."""
     C = _C(ops)
     RJ, K, W = jac.shape
     cs = ops.f.coeff_shape + (K, W)

@@ -32,10 +32,15 @@ from ..algebra.engine import DummyEngine, Bls12_381Engine, DummyG
 from ..r1cs import UnexpectedIdentity
 from ..groth16.types import Proof
 from ..groth16.prover import synthesize_for_proving
-from . import curve, fft, limbs, msm
+from . import curve, fft, limbs, msm, msm2, msm3
 
 
 class BlsBackend:
+    """CRS bases live on device as PackedBases (packed once at upload);
+    each MSM dispatches the tree-fold pipeline (ops/msm3.py) and returns
+    a pending handle — the host blocks only when proof assembly pulls
+    the window totals."""
+
     engine = Bls12_381Engine
     fr_spec = limbs.spec_for("bls_fr")
 
@@ -43,28 +48,28 @@ class BlsBackend:
         for p in points:
             if p.is_identity():
                 raise UnexpectedIdentity("identity base in multiexp")
-        return curve.g1_to_device(points)
+        return msm2.PackedBases(curve.g1_ops(), curve.g1_to_device(points))
 
     def upload_g2(self, points):
         for p in points:
             if p.is_identity():
                 raise UnexpectedIdentity("identity base in multiexp")
-        return curve.g2_to_device(points)
+        return msm2.PackedBases(curve.g2_ops(), curve.g2_to_device(points))
 
     def slice_bases(self, dev, start, stop):
-        return tuple(c[..., start:stop] for c in dev)
+        return dev.slice(start, stop)
 
     def msm_g1(self, bases_dev, exp_limbs):
-        return msm.msm(curve.g1_ops(), bases_dev, exp_limbs)
+        return msm3.msm3_start(curve.g1_ops(), bases_dev, exp_limbs)
 
     def msm_g2(self, bases_dev, exp_limbs):
-        return msm.msm(curve.g2_ops(), bases_dev, exp_limbs)
+        return msm3.msm3_start(curve.g2_ops(), bases_dev, exp_limbs)
 
     def msm_g1_to_host(self, result):
-        return curve.jacobian_to_host(curve.g1_ops(), result, bls.G1Affine)[0]
+        return msm3.msm3_finish(curve.g1_ops(), result, bls.G1Affine)
 
     def msm_g2_to_host(self, result):
-        return curve.jacobian_to_host(curve.g2_ops(), result, bls.G2Affine)[0]
+        return msm3.msm3_finish(curve.g2_ops(), result, bls.G2Affine)
 
 
 class DummyBackend:

@@ -137,6 +137,37 @@ class TestFoldKernelsInterpret:
         got1 = np.asarray(pallas_fold.pair_fold(ops, jac, True))
         assert (got1 == want1).all()
 
+    def test_pair_fold3_and_window_reduce(self):
+        """3D bit-plane folds (K-leading pallas layout) == jnp twins
+        ((3C, K, W) layout) on random Jacobian planes."""
+        from bellman_tpu.ops import pallas_fold
+
+        ops = curve.g1_ops()
+        rng = random.Random(6)
+        K, W = 2, 256
+        prep = self._prep(rng, 2 * K * W)
+        jac = pallas_fold.level0_fold_jnp(ops, prep)   # (RJ, K*W)
+        RJ = jac.shape[0]
+        planes = jac.reshape(RJ, K, W)                  # (RJ, K, W)
+        planes_k = jnp.transpose(planes, (1, 0, 2))     # (K, RJ, W)
+
+        want = np.asarray(pallas_fold.pair_fold3_jnp(ops, planes))
+        got = np.asarray(pallas_fold.pair_fold3(ops, planes_k, True))
+        assert (np.transpose(got, (1, 0, 2)) == want).all()
+
+        nw = 16
+        w128 = planes[:, :, :128]
+        want_r = np.asarray(pallas_fold.window_reduce_jnp(ops, w128, nw))
+        got_r = np.asarray(
+            pallas_fold.window_reduce(
+                ops, jnp.transpose(w128, (1, 0, 2)), nw, True
+            )
+        )
+        # only the first nw lanes are meaningful
+        assert (
+            np.transpose(got_r, (1, 0, 2))[:, :, :nw] == want_r[:, :, :nw]
+        ).all()
+
     def test_butterfly_reduce(self):
         from bellman_tpu.ops import pallas_fold
 

@@ -69,7 +69,7 @@ def generate_parameters_on_device(
     lagrange = [field(v) for v in spec.from_mont_host(lagrange_mont)]
 
     # -- fixed-base tables ----------------------------------------------------
-    bits = spec.L * 16
+    bits = spec.L * spec.w
     t_g1 = fixed_base.FixedBaseTable(curve.g1_ops(), g1, bits, c=window_c)
     t_g2 = fixed_base.FixedBaseTable(curve.g2_ops(), g2, bits, c=window_c)
 

@@ -44,9 +44,10 @@ def rows_aff(ops: CurveOps) -> int:
 
 
 def _raw_limbs(spec, v: int) -> np.ndarray:
-    """Unreduced little-endian 16-bit limbs of v (to_limbs reduces mod p)."""
+    """Unreduced little-endian limbs of v (to_limbs reduces mod p)."""
     return np.array(
-        [(v >> (16 * i)) & limbs.MASK for i in range(spec.L)], dtype=np.uint32
+        [(v >> (spec.w * i)) & spec.mask for i in range(spec.L)],
+        dtype=np.uint32,
     ).reshape(spec.L, 1)
 
 
@@ -67,20 +68,20 @@ def mont_mul_nsc(spec, a, b, p):
     t = jnp.zeros((L + 2,) + batch, dtype=jnp.uint32)
 
     def acc(t, vec):
-        lo = t[:L] + (vec & limbs.MASK)
-        mid = jnp.concatenate([lo[1:], t[L : L + 1]], axis=0) + (vec >> limbs.W)
+        lo = t[:L] + (vec & spec.mask)
+        mid = jnp.concatenate([lo[1:], t[L : L + 1]], axis=0) + (vec >> spec.w)
         return jnp.concatenate([lo[:1], mid, t[L + 1 :]], axis=0)
 
     for i in range(L):
         t = acc(t, a[i][None] * b)
-        m = (t[0] * ninv) & limbs.MASK
+        m = (t[0] * ninv) & spec.mask
         t = acc(t, m[None] * pu)
-        carry = t[0] >> limbs.W
+        carry = t[0] >> spec.w
         head = (t[1] + carry)[None]
         t = jnp.concatenate(
             [head, t[2:], jnp.zeros((1,) + batch, dtype=jnp.uint32)], axis=0
         )
-    return limbs._propagate_unrolled(t)[:L]
+    return limbs._propagate_unrolled(t, spec.w)[:L]
 
 
 class _LazyFieldOps:

@@ -20,14 +20,16 @@ import numpy as np
 
 
 def timeit(fn, *args, iters=5):
+    """Honest device timing: block_until_ready does NOT synchronize
+    through the axon tunnel — sync with a device_get of a checksum."""
     import jax
 
     out = fn(*args)
-    jax.block_until_ready(out)
+    jax.device_get(jax.tree.leaves(out)[0].ravel()[:4])
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+        jax.device_get(jax.tree.leaves(out)[0].ravel()[:4])
     return (time.perf_counter() - t0) / iters
 
 
@@ -44,9 +46,9 @@ def main():
 
     ops = curve.g1_ops()
     W = 1 << args.log2w
-    C = 24
     RP = pallas_fold.rows_prep(ops)
     spec_q = limbs.spec_for("bls_fq")
+    C = spec_q.L
     rng = np.random.default_rng(0)
 
     # random-ish valid prep lanes from a small pool of points

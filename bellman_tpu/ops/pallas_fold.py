@@ -25,6 +25,13 @@ Kernels:
 
 Both halves of each input are passed as two BlockSpecs over the SAME
 array (index maps offset by half the grid) — no XLA-side slicing copies.
+
+Lane layout: the VPU is an 8x128 grid, so a (1, W) limb-row op uses one
+sublane in eight. The fold kernels therefore view the W lanes as
+(W/128, 128) and run every per-limb op on (SUB, 128) = full-tile
+batches (SUB = 16 sublanes -> two native (8, 128) u32 tiles). External
+signatures stay 2-D (R, W); the 3-D reshape lives inside the jitted
+call, so adjacent levels' reshape pairs cancel under one jit.
 """
 
 from __future__ import annotations
@@ -41,6 +48,7 @@ from .curve import CurveOps
 from .pallas_scan import _kernel_curve_ops, _C
 
 TILE = 2048
+SUB = TILE // 128  # sublane blocks per kernel tile (16, 128)
 
 
 def _pad8(r: int) -> int:
@@ -65,25 +73,25 @@ def _consts(ops: CurveOps):
 
 def _read_point(ops: CurveOps, kops, C, ref):
     cs = ops.f.coeff_shape
-    x = ref[0:C].reshape(cs + (TILE,))
-    y = ref[C : 2 * C].reshape(cs + (TILE,))
+    x = ref[0:C].reshape(cs + (SUB, 128))
+    y = ref[C : 2 * C].reshape(cs + (SUB, 128))
     v = ref[2 * C]
     f = kops.f
-    z = f.select(v != 0, f.one((TILE,)), f.zeros((TILE,)))
+    z = f.select(v != 0, f.one((SUB, 128)), f.zeros((SUB, 128)))
     return (x, y, z)
 
 
 def _read_jac(ops: CurveOps, C, ref):
     cs = ops.f.coeff_shape
     return (
-        ref[0:C].reshape(cs + (TILE,)),
-        ref[C : 2 * C].reshape(cs + (TILE,)),
-        ref[2 * C : 3 * C].reshape(cs + (TILE,)),
+        ref[0:C].reshape(cs + (SUB, 128)),
+        ref[C : 2 * C].reshape(cs + (SUB, 128)),
+        ref[2 * C : 3 * C].reshape(cs + (SUB, 128)),
     )
 
 
 def _write_jac(C, o_ref, r):
-    o_ref[:] = jnp.concatenate([c.reshape(C, TILE) for c in r], axis=0)
+    o_ref[:] = jnp.concatenate([c.reshape(C, SUB, 128) for c in r], axis=0)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
@@ -97,6 +105,7 @@ def level0_fold(ops: CurveOps, prep, interpret: bool = False):
     M = W // 2
     assert M % TILE == 0, (W, TILE)
     nb = M // TILE
+    prep3 = prep.reshape(RP, W // 128, 128)
 
     def kernel(p_ref, one_ref, a_ref, b_ref, o_ref):
         kops = _kernel_curve_ops(ops, p_ref[:], one_ref[:])
@@ -105,22 +114,23 @@ def level0_fold(ops: CurveOps, prep, interpret: bool = False):
         )
         _write_jac(C, o_ref, r)
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((RJ, M), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((RJ, M // 128, 128), jnp.uint32),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((spec.L, 1), lambda i: (0, 0)),
             pl.BlockSpec((spec.L, 1), lambda i: (0, 0)),
-            pl.BlockSpec((RP, TILE), lambda i: (0, i)),
-            pl.BlockSpec((RP, TILE), lambda i: (0, i + nb)),
+            pl.BlockSpec((RP, SUB, 128), lambda i: (0, i, 0)),
+            pl.BlockSpec((RP, SUB, 128), lambda i: (0, i + nb, 0)),
         ],
-        out_specs=pl.BlockSpec((RJ, TILE), lambda i: (0, i)),
+        out_specs=pl.BlockSpec((RJ, SUB, 128), lambda i: (0, i, 0)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(p_arr, one_arr, prep, prep)
+    )(p_arr, one_arr, prep3, prep3)
+    return out.reshape(RJ, M)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
@@ -133,28 +143,30 @@ def pair_fold(ops: CurveOps, jac, interpret: bool = False):
     M = W // 2
     assert M % TILE == 0, (W, TILE)
     nb = M // TILE
+    jac3 = jac.reshape(RJ, W // 128, 128)
 
     def kernel(p_ref, one_ref, a_ref, b_ref, o_ref):
         kops = _kernel_curve_ops(ops, p_ref[:], one_ref[:])
         r = kops.add(_read_jac(ops, C, a_ref), _read_jac(ops, C, b_ref))
         _write_jac(C, o_ref, r)
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((RJ, M), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((RJ, M // 128, 128), jnp.uint32),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((spec.L, 1), lambda i: (0, 0)),
             pl.BlockSpec((spec.L, 1), lambda i: (0, 0)),
-            pl.BlockSpec((RJ, TILE), lambda i: (0, i)),
-            pl.BlockSpec((RJ, TILE), lambda i: (0, i + nb)),
+            pl.BlockSpec((RJ, SUB, 128), lambda i: (0, i, 0)),
+            pl.BlockSpec((RJ, SUB, 128), lambda i: (0, i + nb, 0)),
         ],
-        out_specs=pl.BlockSpec((RJ, TILE), lambda i: (0, i)),
+        out_specs=pl.BlockSpec((RJ, SUB, 128), lambda i: (0, i, 0)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(p_arr, one_arr, jac, jac)
+    )(p_arr, one_arr, jac3, jac3)
+    return out.reshape(RJ, M)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
@@ -261,40 +273,43 @@ def pair_fold3(ops: CurveOps, jac, interpret: bool = False):
     BW = min(M, TILE)
     assert M % BW == 0 and BW % 128 == 0, (W, BW)
     nb = M // BW
+    sb = BW // 128
+    jac4 = jac.reshape(K, RJ, W // 128, 128)
 
     def kernel(p_ref, one_ref, a_ref, b_ref, o_ref):
         kops = _kernel_curve_ops(ops, p_ref[:], one_ref[:])
 
         def rd(ref):
             cs = ops.f.coeff_shape
-            v = ref[:].reshape(RJ, BW)
+            v = ref[:].reshape(RJ, sb, 128)
             return (
-                v[0:C].reshape(cs + (BW,)),
-                v[C : 2 * C].reshape(cs + (BW,)),
-                v[2 * C :].reshape(cs + (BW,)),
+                v[0:C].reshape(cs + (sb, 128)),
+                v[C : 2 * C].reshape(cs + (sb, 128)),
+                v[2 * C :].reshape(cs + (sb, 128)),
             )
 
         r = kops.add(rd(a_ref), rd(b_ref))
         o_ref[:] = jnp.concatenate(
-            [c.reshape(C, BW) for c in r], axis=0
-        ).reshape(1, RJ, BW)
+            [c.reshape(C, sb, 128) for c in r], axis=0
+        ).reshape(1, RJ, sb, 128)
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((K, RJ, M), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((K, RJ, M // 128, 128), jnp.uint32),
         grid=(K, nb),
         in_specs=[
             pl.BlockSpec((spec.L, 1), lambda k, i: (0, 0)),
             pl.BlockSpec((spec.L, 1), lambda k, i: (0, 0)),
-            pl.BlockSpec((1, RJ, BW), lambda k, i: (k, 0, i)),
-            pl.BlockSpec((1, RJ, BW), lambda k, i: (k, 0, i + nb)),
+            pl.BlockSpec((1, RJ, sb, 128), lambda k, i: (k, 0, i, 0)),
+            pl.BlockSpec((1, RJ, sb, 128), lambda k, i: (k, 0, i + nb, 0)),
         ],
-        out_specs=pl.BlockSpec((1, RJ, BW), lambda k, i: (k, 0, i)),
+        out_specs=pl.BlockSpec((1, RJ, sb, 128), lambda k, i: (k, 0, i, 0)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(p_arr, one_arr, jac, jac)
+    )(p_arr, one_arr, jac4, jac4)
+    return out.reshape(K, RJ, M)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 3))

@@ -293,17 +293,11 @@ def mont_mul_kernel(spec: FieldSpec, a, b, p=None):
     return _cond_sub_p_unrolled(spec, t, p)
 
 
-def mont_mul_conv(spec: FieldSpec, a, b, p=None):
-    """Montgomery product via full-product convolution + limb-serial
-    REDC, for limb widths w <= 13 (spec.conv_ok).
-
-    The w=16 CIOS must split every u32 product into lo/hi halves before
-    accumulating (4 extra ops per product); with w <= 13 each product is
-    < 2^26 and an accumulator limb gathers at most L conv products +
-    p_nz REDC products + one shifted carry — all exact in u32 (asserted
-    at spec construction). Ops per mul: L^2 products + L*(p_nz+5) REDC
-    vs the CIOS ~L*(2L+8) w/ splitting: ~1.5x fewer for BLS12-381 Fq.
-    Flat/unrolled: Mosaic-lowerable inside Pallas kernels."""
+def _mont_mul_conv_raw(spec: FieldSpec, a, b, p=None):
+    """conv+REDC body shared by the canonical and lazy variants: returns
+    carry-propagated limbs in [0, 2p) (REDC bound 4p²/R + p < 2p, valid
+    for inputs in [0, 2p) — the conv_ok accumulator bound is per-limb
+    and range-independent)."""
     assert spec.conv_ok, spec
     L, w, mask = spec.L, spec.w, spec.mask
     nz = spec.p_nz
@@ -334,10 +328,30 @@ def mont_mul_conv(spec: FieldSpec, a, b, p=None):
             t[i + j] = t[i + j] + m * pj[j]
         t[i + 1] = t[i + 1] + (t[i] >> w)
 
-    out = _propagate_unrolled(jnp.stack(t[L:]), w)
+    return _propagate_unrolled(jnp.stack(t[L:]), w)
+
+
+def mont_mul_conv(spec: FieldSpec, a, b, p=None):
+    """Montgomery product via full-product convolution + limb-serial
+    REDC, for limb widths w <= 13 (spec.conv_ok).
+
+    The w=16 CIOS must split every u32 product into lo/hi halves before
+    accumulating (4 extra ops per product); with w <= 13 each product is
+    < 2^26 and an accumulator limb gathers at most L conv products +
+    p_nz REDC products + one shifted carry — all exact in u32 (asserted
+    at spec construction). Ops per mul: L^2 products + L*(p_nz+5) REDC
+    vs the CIOS ~L*(2L+8) w/ splitting: ~1.5x fewer for BLS12-381 Fq.
+    Flat/unrolled: Mosaic-lowerable inside Pallas kernels."""
+    out = _mont_mul_conv_raw(spec, a, b, p)
     if p is None:
-        p = spec.p_limbs.reshape(L, 1)
+        p = spec.p_limbs.reshape(spec.L, 1)
     return _cond_sub_p_unrolled(spec, out, p)
+
+
+def mont_mul_conv_nsc(spec: FieldSpec, a, b, p=None):
+    """Lazy conv+REDC multiply: output in [0, 2p), no trailing cond-sub
+    (for [0, 2p)-representation chains, ops/pallas_affine.py)."""
+    return _mont_mul_conv_raw(spec, a, b, p)
 
 
 def sub_kernel(spec: FieldSpec, a, b, p=None):

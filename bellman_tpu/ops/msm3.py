@@ -39,12 +39,21 @@ import numpy as np
 from . import limbs
 from .curve import CurveOps
 from . import msm2
+from . import pallas_afold
 from . import pallas_fold
 from .msm2 import _C, _unpack_coords, num_windows, PackedBases
 from .pallas_fold import TILE, rows_prep, rows_jac
 
 CHUNK_SLOTS = 1 << 22   # max slots gathered/folded per dispatch
 MAX_LOG_CAP = 25
+
+
+def default_fold() -> str:
+    """Fold-kernel family: 'affine' (batch-affine, ~2.1x less VPU work
+    per lane, ops/pallas_afold.py) or 'jacobian' (ops/pallas_fold.py)."""
+    import os
+
+    return os.environ.get("BELLMAN_TPU_MSM_FOLD", "affine")
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -120,22 +129,40 @@ def limbs_sub_zero(spec, ops, y):
     return jnp.concatenate(out, axis=0)
 
 
-def _fold_group(ops: CurveOps, prep, cap: int, mode: str):
-    """Rank-major prep (RP, cap*lsub) -> per-lane Jacobian (3C, lsub)."""
+def _fold_group(ops: CurveOps, prep, cap: int, mode: str,
+                fold: str = "affine"):
+    """Rank-major prep (RP, cap*lsub) -> per-lane Jacobian (3C, lsub).
+
+    fold='affine': every level is a batch-affine add with a per-block
+    shared inversion (the prep layout IS the affine layout, so one
+    kernel serves level 0 and all later levels); the group result is
+    converted to Jacobian once for the totals pass. fold='jacobian':
+    the mixed-add + full-add Jacobian tree."""
     interp = mode == "interpret"
+    lsub = prep.shape[-1] // cap
+    if fold == "affine":
+        x = prep
+        if mode == "jnp":
+            while x.shape[-1] > lsub:
+                x = pallas_afold.afold_jnp(ops, x)
+        else:
+            while x.shape[-1] > lsub:
+                x = pallas_afold.afold(ops, x, interp)
+        return pallas_afold.aff_to_jac(ops, x, rows_jac(ops))
     if mode == "jnp":
         x = pallas_fold.level0_fold_jnp(ops, prep)
-        while x.shape[-1] > prep.shape[-1] // cap:
+        while x.shape[-1] > lsub:
             x = pallas_fold.pair_fold_jnp(ops, x)
         return x
     x = pallas_fold.level0_fold(ops, prep, interp)
-    while x.shape[-1] > prep.shape[-1] // cap:
+    while x.shape[-1] > lsub:
         x = pallas_fold.pair_fold(ops, x, interp)
     return x
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
 def _group_pipeline(ops: CurveOps, cap: int, lsub: int, mode: str,
+                    fold: str,
                     lane0, lane_hi, starts_s, occ_s, fenc_sorted, packed):
     """Gather + all fold levels for one group chunk as ONE dispatch
     (per-call dispatch latency through the axon tunnel is ~10 ms; a
@@ -144,7 +171,7 @@ def _group_pipeline(ops: CurveOps, cap: int, lsub: int, mode: str,
         ops, cap, lsub, lane0, lane_hi, starts_s, occ_s, fenc_sorted,
         packed
     )
-    return _fold_group(ops, prep, cap, mode)
+    return _fold_group(ops, prep, cap, mode, fold)
 
 
 def _heavy_lane_total(ops: CurveOps, lane: int, occ: int, starts_s, occ_s,
@@ -188,7 +215,8 @@ class Msm3Pending:
 
 
 def msm3(ops: CurveOps, points, scalar_limbs, c: int | None = None,
-         mode: str | None = None, point_cls=None, verbose: bool = False):
+         mode: str | None = None, point_cls=None, verbose: bool = False,
+         fold: str | None = None):
     """MSM Σ_i scalars_i · points_i (drop-in for msm2.msm2).
 
     points: Jacobian batch with Z ∈ {0,1} or PackedBases; scalar_limbs:
@@ -196,17 +224,19 @@ def msm3(ops: CurveOps, points, scalar_limbs, c: int | None = None,
     ``point_cls``, the host affine point (host-side window fold)."""
     if point_cls is not None:
         pending = msm3_start(ops, points, scalar_limbs, c=c, mode=mode,
-                             verbose=verbose)
+                             verbose=verbose, fold=fold)
         return msm3_finish(ops, pending, point_cls)
-    return _msm3_run(ops, points, scalar_limbs, c, mode, None, verbose)
+    return _msm3_run(ops, points, scalar_limbs, c, mode, None, verbose,
+                     fold)
 
 
 def msm3_start(ops: CurveOps, points, scalar_limbs, c: int | None = None,
-               mode: str | None = None,
-               verbose: bool = False) -> Msm3Pending:
+               mode: str | None = None, verbose: bool = False,
+               fold: str | None = None) -> Msm3Pending:
     """Dispatch the full device pipeline; return without blocking on the
     result (XLA dispatch is async — only the tiny schedule probe syncs)."""
-    return _msm3_run(ops, points, scalar_limbs, c, mode, "pending", verbose)
+    return _msm3_run(ops, points, scalar_limbs, c, mode, "pending", verbose,
+                     fold)
 
 
 def msm3_finish(ops: CurveOps, pending: Msm3Pending, point_cls):
@@ -216,7 +246,7 @@ def msm3_finish(ops: CurveOps, pending: Msm3Pending, point_cls):
 
 
 def _msm3_run(ops: CurveOps, points, scalar_limbs, c, mode, finish,
-              verbose: bool = False):
+              verbose: bool = False, fold: str | None = None):
     import time as _time
 
     _t0 = _time.time()
@@ -230,6 +260,8 @@ def _msm3_run(ops: CurveOps, points, scalar_limbs, c, mode, finish,
     L = int(scalar_limbs.shape[0])
     if mode is None:
         mode = msm2.default_mode()
+    if fold is None:
+        fold = default_fold()
     if c is None:
         c = msm2.default_c(n)
     nw = num_windows(L, c)
@@ -264,7 +296,7 @@ def _msm3_run(ops: CurveOps, points, scalar_limbs, c, mode, finish,
             # CPU twins have no tile-alignment constraints: one exact
             # chunk per group, no padding, no heavy path
             results.append((lo, hi, _group_pipeline(
-                ops, cap, lg, mode, jnp.uint32(lo), jnp.uint32(hi),
+                ops, cap, lg, mode, fold, jnp.uint32(lo), jnp.uint32(hi),
                 starts_s, occ_s, fenc_sorted, packed_pts
             )))
             continue
@@ -294,8 +326,9 @@ def _msm3_run(ops: CurveOps, points, scalar_limbs, c, mode, finish,
         while off < hi:
             chunks.append(
                 _group_pipeline(
-                    ops, cap, lsub, mode, jnp.uint32(off), jnp.uint32(hi),
-                    starts_s, occ_s, fenc_sorted, packed_pts
+                    ops, cap, lsub, mode, fold, jnp.uint32(off),
+                    jnp.uint32(hi), starts_s, occ_s, fenc_sorted,
+                    packed_pts
                 )
             )
             off += lsub

@@ -57,9 +57,13 @@ def _raw_limbs(spec, v: int) -> np.ndarray:
 
 
 def mont_mul_nsc(spec, a, b, p):
-    """CIOS Montgomery multiply WITHOUT the trailing cond-sub.
+    """Montgomery multiply WITHOUT the trailing cond-sub.
 
-    Inputs/outputs in [0, 2p) with 16-bit limbs."""
+    Inputs/outputs in [0, 2p). Dispatches to the conv+REDC form when
+    the limb width admits it (w <= 13: ~2.4x fewer VPU ops at L=32
+    than the lo/hi-splitting CIOS); w=16 limbs take the CIOS loop."""
+    if spec.conv_ok:
+        return limbs.mont_mul_conv_nsc(spec, a, b, p)
     L = spec.L
     batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
     b = jnp.broadcast_to(b, (L,) + batch)

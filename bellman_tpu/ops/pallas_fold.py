@@ -182,7 +182,16 @@ def butterfly_reduce(ops: CurveOps, jac, interpret: bool = False):
 
     def kernel(p_ref, one_ref, a_ref, o_ref):
         kops = _kernel_curve_ops(ops, p_ref[:], one_ref[:])
-        v = _read_jac(ops, C, a_ref)
+        # 1-D lane view (NOT the (SUB, 128) full-tile view): the roll-
+        # doubling below sums across the whole flat lane axis. This
+        # kernel only serves rare heavy lanes, so the sublane
+        # underutilization is acceptable.
+        cs = ops.f.coeff_shape
+        v = (
+            a_ref[0:C].reshape(cs + (TILE,)),
+            a_ref[C : 2 * C].reshape(cs + (TILE,)),
+            a_ref[2 * C : 3 * C].reshape(cs + (TILE,)),
+        )
         for s in range(11):
             rolled = tuple(
                 pltpu.roll(c, 1 << s, axis=c.ndim - 1) for c in v
@@ -274,42 +283,81 @@ def pair_fold3(ops: CurveOps, jac, interpret: bool = False):
     assert M % BW == 0 and BW % 128 == 0, (W, BW)
     nb = M // BW
     sb = BW // 128
-    jac4 = jac.reshape(K, RJ, W // 128, 128)
+    # Mosaic constraint: a block's last two dims must be divisible by
+    # (8, 128) or equal the array dims. The 4-D full-tile layout needs
+    # sb % 8 == 0 (or one block covering all lane-blocks); narrow late
+    # fold levels (W <= 1024) take the 3-D (rows, lanes) layout, where
+    # the (RJ, BW) trailing block dims are always legal.
+    full_tile = sb % 8 == 0
 
-    def kernel(p_ref, one_ref, a_ref, b_ref, o_ref):
-        kops = _kernel_curve_ops(ops, p_ref[:], one_ref[:])
+    def rd_shaped(ref, shape):
+        cs = ops.f.coeff_shape
+        v = ref[:].reshape((RJ,) + shape)
+        return (
+            v[0:C].reshape(cs + shape),
+            v[C : 2 * C].reshape(cs + shape),
+            v[2 * C :].reshape(cs + shape),
+        )
 
-        def rd(ref):
-            cs = ops.f.coeff_shape
-            v = ref[:].reshape(RJ, sb, 128)
-            return (
-                v[0:C].reshape(cs + (sb, 128)),
-                v[C : 2 * C].reshape(cs + (sb, 128)),
-                v[2 * C :].reshape(cs + (sb, 128)),
+    if full_tile:
+        jac4 = jac.reshape(K, RJ, W // 128, 128)
+
+        def kernel(p_ref, one_ref, a_ref, b_ref, o_ref):
+            kops = _kernel_curve_ops(ops, p_ref[:], one_ref[:])
+            r = kops.add(
+                rd_shaped(a_ref, (sb, 128)), rd_shaped(b_ref, (sb, 128))
             )
+            o_ref[:] = jnp.concatenate(
+                [c.reshape(C, sb, 128) for c in r], axis=0
+            ).reshape(1, RJ, sb, 128)
 
-        r = kops.add(rd(a_ref), rd(b_ref))
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(
+                (K, RJ, M // 128, 128), jnp.uint32
+            ),
+            grid=(K, nb),
+            in_specs=[
+                pl.BlockSpec((spec.L, 1), lambda k, i: (0, 0)),
+                pl.BlockSpec((spec.L, 1), lambda k, i: (0, 0)),
+                pl.BlockSpec((1, RJ, sb, 128), lambda k, i: (k, 0, i, 0)),
+                pl.BlockSpec(
+                    (1, RJ, sb, 128), lambda k, i: (k, 0, i + nb, 0)
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, RJ, sb, 128), lambda k, i: (k, 0, i, 0)
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(p_arr, one_arr, jac4, jac4)
+        return out.reshape(K, RJ, M)
+
+    def kernel3(p_ref, one_ref, a_ref, b_ref, o_ref):
+        kops = _kernel_curve_ops(ops, p_ref[:], one_ref[:])
+        r = kops.add(rd_shaped(a_ref, (BW,)), rd_shaped(b_ref, (BW,)))
         o_ref[:] = jnp.concatenate(
-            [c.reshape(C, sb, 128) for c in r], axis=0
-        ).reshape(1, RJ, sb, 128)
+            [c.reshape(C, BW) for c in r], axis=0
+        ).reshape(1, RJ, BW)
 
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((K, RJ, M // 128, 128), jnp.uint32),
+    return pl.pallas_call(
+        kernel3,
+        out_shape=jax.ShapeDtypeStruct((K, RJ, M), jnp.uint32),
         grid=(K, nb),
         in_specs=[
             pl.BlockSpec((spec.L, 1), lambda k, i: (0, 0)),
             pl.BlockSpec((spec.L, 1), lambda k, i: (0, 0)),
-            pl.BlockSpec((1, RJ, sb, 128), lambda k, i: (k, 0, i, 0)),
-            pl.BlockSpec((1, RJ, sb, 128), lambda k, i: (k, 0, i + nb, 0)),
+            pl.BlockSpec((1, RJ, BW), lambda k, i: (k, 0, i)),
+            pl.BlockSpec((1, RJ, BW), lambda k, i: (k, 0, i + nb)),
         ],
-        out_specs=pl.BlockSpec((1, RJ, sb, 128), lambda k, i: (k, 0, i, 0)),
+        out_specs=pl.BlockSpec((1, RJ, BW), lambda k, i: (k, 0, i)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(p_arr, one_arr, jac4, jac4)
-    return out.reshape(K, RJ, M)
+    )(p_arr, one_arr, jac, jac)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 3))

@@ -1,22 +1,37 @@
-"""Structured per-kernel timing and roofline cost model.
+"""Structured per-kernel timing and an honest u32-op roofline model.
 
 The reference's observability is a `log` crate hook and ad-hoc Instant
 timers (SURVEY.md §5); for a TPU framework the useful invariants are
-analytic kernel costs in u16-multiplies (everything rooflines through
-the 16x16->32 lane multiply) plus wall-clock timers around dispatches.
+analytic kernel costs in *u32 VPU ops* plus wall-clock timers around
+dispatches. Everything in the compute path (limb Montgomery arithmetic,
+point formulas, FFT butterflies) ultimately executes 32-bit multiplies,
+adds, shifts and masks on the 8x128 VPU, and the measured marginal
+throughput for all of them is the same to ~2x (benches/op_probe.py on
+v5e: mul 1.60 T/s, add 1.55 T/s, shift 3.0 T/s) — so a flat op count
+against the measured peak is the speed-of-light denominator.
 
-Cost model (lazy-carry CIOS, ops.limbs):
-  Fr/Fq mul:   2 * L^2 u16-multiplies   (L = 16 for Fr, 24 for Fq)
-  Fq2 mul:     3 Fq muls (Karatsuba)
-  G1 add:      ~12 Fq muls + 7 squares  (batched add-2007-bl + dbl path)
-  FFT:         (n/2) log2 n butterflies, 1 Fr mul each
-  MSM window:  ~2n G1 adds (segmented scan) + 2^c bucket adds
+Calibration (v5e chip through the axon tunnel, honest device_get
+timing — block_until_ready does NOT synchronize through the tunnel):
+  U32_PEAK_V5E = 1.55e12 marginal u32 ops/s.
+
+Field-multiply cost is derived from the limb spec (ops/limbs.py):
+  w<=13 conv+REDC (mont_mul_conv):  L^2 products + (L-1)^2 adds
+    + L*(2*p_nz + 4) REDC ops + 8L carry/cond-sub tail
+  w=16 CIOS (mont_mul_kernel):      2L^2 products + L*(8L+4) + 8L
+    (every u32 product is split lo/hi before accumulating)
+
+Point-formula costs count field muls/adds from ops/curve.py and the
+kernel twins in ops/pallas_scan.py:
+  full Jacobian add (add-2007-bl + masked dbl path): 13M + 10S + ~28A
+  mixed add from affine prep (madd-2007-bl class):    8M +  6S + ~18A
 """
 
 from __future__ import annotations
 
 import contextlib
 import time
+
+U32_PEAK_V5E = 1.55e12  # measured marginal u32 VPU ops/s (op_probe.py)
 
 
 class KernelTimer:
@@ -38,44 +53,69 @@ class KernelTimer:
         return dict(sorted(self.spans.items(), key=lambda kv: -kv[1]))
 
 
-# -- analytic u16-multiply counts ------------------------------------------
-
-L_FR = 16
-L_FQ = 24
+# -- analytic u32-op counts -------------------------------------------------
 
 
-def mults_field_mul(limbs: int) -> int:
-    return 2 * limbs * limbs
+def _spec(name: str):
+    from bellman_tpu.ops import limbs
+
+    return limbs.spec_for(name)
 
 
-def mults_fq2_mul() -> int:
-    return 3 * mults_field_mul(L_FQ)
+def ops_field_mul(spec) -> int:
+    """u32 VPU ops for one Montgomery multiply on ``spec`` limbs."""
+    L = spec.L
+    if getattr(spec, "conv_ok", False):
+        conv = L * L + (L - 1) * (L - 1)
+        redc = L * (2 * spec.p_nz + 4)
+        return conv + redc + 8 * L
+    return 2 * L * L + L * (8 * L + 4) + 8 * L
 
 
-def mults_g1_add() -> int:
-    # batched add (11M + 5S in Fq, doubling path shares squares)
-    return 19 * mults_field_mul(L_FQ)
+def ops_field_add(spec) -> int:
+    """u32 ops for one modular add (carry propagate + cond-sub)."""
+    return 9 * spec.L
 
 
-def mults_g2_add() -> int:
-    return 19 * mults_fq2_mul()
+def ops_fq_mul() -> int:
+    return ops_field_mul(_spec("bls_fq"))
 
 
-def mults_fft(n: int) -> int:
+def ops_fr_mul() -> int:
+    return ops_field_mul(_spec("bls_fr"))
+
+
+def ops_g1_add_full() -> int:
+    """Branchless full Jacobian add (curve.CurveOps.add): 13M+10S+~28A."""
+    return 23 * ops_fq_mul() + 28 * ops_field_add(_spec("bls_fq"))
+
+
+def ops_g1_madd() -> int:
+    """Mixed add from affine prep (pallas fold level0): 8M+6S+~18A."""
+    return 14 * ops_fq_mul() + 18 * ops_field_add(_spec("bls_fq"))
+
+
+def ops_msm_g1(n: int, c: int, scalar_bits: int = 256) -> int:
+    """Arithmetic lower bound for the bucket method: every point enters
+    exactly one (window, bucket) accumulation per window -> nw*n mixed
+    adds. Bucket-total/window-fold costs are o(n) and excluded (at
+    2^20+, c<=16 they are <~35% and shrink with n)."""
+    nw = -(-scalar_bits // c)
+    return nw * n * ops_g1_madd()
+
+
+def ops_fft(n: int) -> int:
+    """(n/2) log2 n butterflies: one Fr mul + one add + one sub each."""
     import math
 
-    return (n // 2) * int(math.log2(n)) * mults_field_mul(L_FR)
+    spec = _spec("bls_fr")
+    butt = ops_field_mul(spec) + 2 * ops_field_add(spec)
+    return (n // 2) * int(math.log2(n)) * butt
 
 
-def mults_msm_g1(n: int, c: int) -> int:
-    windows = -(-256 // c)
-    per_window = 2 * n * mults_g1_add() + (1 << c) * 2 * mults_g1_add()
-    return windows * per_window
-
-
-def roofline_fraction(measured_seconds: float, total_mults: int,
-                      peak_mults_per_s: float) -> float:
-    """measured vs speed-of-light at `peak_mults_per_s` u16-multiplies/s
-    (calibrate the peak with benches/microbench once per chip type)."""
-    ideal = total_mults / peak_mults_per_s
+def roofline_fraction(measured_seconds: float, total_u32_ops: int,
+                      peak_ops_per_s: float = U32_PEAK_V5E) -> float:
+    """measured vs speed-of-light at ``peak_ops_per_s`` u32 ops/s
+    (calibrate with benches/op_probe.py once per chip type)."""
+    ideal = total_u32_ops / peak_ops_per_s
     return ideal / measured_seconds if measured_seconds > 0 else 0.0

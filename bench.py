@@ -13,15 +13,16 @@ kernel: bellman's multicore Pippenger at ~1.0e6 points/s for 2^20 G1 MSM
 on a modern many-core CPU (criterion harness class, documented estimate).
 
 ``roofline_frac``: measured vs the speed-of-light arithmetic bound at the
-chip's calibrated u16-multiply peak (benches/microbench.py: ~10.8e12
-u16-mults/s on v5e) — the BASELINE.json north star is defined in these
-units (2^24 >= 70%).
+chip's honestly-calibrated u32 VPU-op peak (benches/op_probe.py: ~1.55e12
+marginal u32 ops/s on v5e; block_until_ready does not synchronize through
+the axon tunnel, so the calibration uses device_get) — the BASELINE.json
+north star is defined in these units (2^24 >= 70%).
 
 Extra sub-metrics (FFT throughput, per-phase timings) are printed to
 stderr; the driver consumes only the JSON line.
 
 Env knobs: BENCH_MSM_LOG2 (default 20), BENCH_MSM_C (default 16),
-BENCH_PEAK_U16_PER_S (default 10.8e12, the v5e calibration).
+BENCH_PEAK_U32_PER_S (default 1.55e12, the v5e calibration).
 """
 
 import json
@@ -35,25 +36,22 @@ import numpy as np
 BASELINE_MSM_POINTS_PER_S = 1.0e6  # bellman multicore CPU class (see above)
 
 
-def msm_roofline_mults(n: int, nw: int) -> int:
-    """Arithmetic lower bound for the bucket method: every point enters
-    exactly one (window, bucket) accumulation per window -> nw*n Jacobian
-    mixed adds. Bucket-total/window-fold costs are o(n) and excluded."""
+def msm_roofline_u32_ops(n: int, c: int) -> int:
     from bellman_tpu.utils import profiling
 
-    return nw * n * profiling.mults_g1_add()
+    return profiling.ops_msm_g1(n, c)
 
 
-def fft_roofline_mults(n: int) -> int:
+def fft_roofline_u32_ops(n: int) -> int:
     from bellman_tpu.utils import profiling
 
-    return profiling.mults_fft(n)
+    return profiling.ops_fft(n)
 
 
 def main():
     size_log = int(os.environ.get("BENCH_MSM_LOG2", "20"))
     c = int(os.environ.get("BENCH_MSM_C", "16"))
-    peak = float(os.environ.get("BENCH_PEAK_U16_PER_S", "10.8e12"))
+    peak = float(os.environ.get("BENCH_PEAK_U32_PER_S", "1.55e12"))
     n = 1 << size_log
 
     import jax
@@ -114,7 +112,7 @@ def main():
         r = msm3.msm3(ops, packed, sl, c=c, point_cls=bls.G1Affine)
     dt = (time.time() - t0) / iters
     points_per_s = n / dt
-    msm_frac = (msm_roofline_mults(n, nw) / peak) / dt
+    msm_frac = (msm_roofline_u32_ops(n, c) / peak) / dt
 
     print(
         f"[bench] G1 MSM 2^{size_log} c={c}: {dt*1e3:.1f} ms/iter "
@@ -135,12 +133,19 @@ def main():
         + 1
     )
     f = jax.jit(plan.fft)
-    f(a)[0].block_until_ready()
+
+    def run_fft():
+        # block_until_ready does not synchronize through the axon
+        # tunnel; device_get of a checksum slice is the honest sync
+        out = f(a)
+        jax.device_get(jax.tree.leaves(out)[0].ravel()[:4])
+
+    run_fft()
     t0 = time.time()
     for _ in range(iters):
-        f(a)[0].block_until_ready()
+        run_fft()
     fft_dt = (time.time() - t0) / iters
-    fft_frac = (fft_roofline_mults(m) / peak) / fft_dt
+    fft_frac = (fft_roofline_u32_ops(m) / peak) / fft_dt
     print(
         f"[bench] Fr FFT 2^{fft_log}: {fft_dt*1e3:.1f} ms "
         f"({m/fft_dt/1e6:.2f} M coeffs/s; roofline {fft_frac*100:.2f}%)",

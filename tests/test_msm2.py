@@ -127,26 +127,26 @@ class TestMsm2Jnp:
 class TestMaddKernelInterpret:
     """madd_round (Pallas, interpret mode) == madd_round_jnp on one tile.
 
-    Run in a fresh process: the unrolled kernel body compiles slowly on
-    XLA-CPU and interpret-mode Mosaic state does not mix with compiled
-    runs (see tests/test_pallas_kernels.py). Full-pipeline parity with
-    the compiled kernels is exercised on the chip by bench/msm paths."""
+    Runs on the toy curve (tests/toy_curve.py) — see
+    TestFoldKernelsInterpret in tests/test_msm3.py for why (BLS Fq-width
+    jaxprs make interpret mode >10 min per test)."""
 
     def test_madd_round_interpret_matches_jnp(self):
         from bellman_tpu.ops import pallas_madd
+        from toy_curve import rand_toy, toy_ops, toy_spec
 
-        ops = curve.g1_ops()
+        ops = toy_ops()
         rng = random.Random(4)
         W = pallas_madd.TILE
-        C = 24
+        spec = toy_spec()
+        C = spec.L
         RA = pallas_madd.rows_acc(ops)
         RD = pallas_madd.rows_add(ops)
         # accumulator: mix of infinity lanes and real points
-        acc_pts = rand_g1(rng, 8)
-        base_pts = rand_g1(rng, 8)
+        acc_pts = rand_toy(rng, 8)
+        base_pts = rand_toy(rng, 8)
         acc = np.zeros((RA, W), np.uint32)
         add = np.zeros((RD, W), np.uint32)
-        spec_q = limbs.spec_for("bls_fq")
         for lane in range(W):
             p = acc_pts[lane % 8]
             q = base_pts[lane % 8]
@@ -156,13 +156,14 @@ class TestMaddKernelInterpret:
             if cases == 2:
                 q = -p                 # cancellation lane
             if cases != 3:             # 3 => acc stays infinity
-                acc[0:C, lane] = spec_q.to_mont_host([int(p.x)])[:, 0]
-                acc[C:2 * C, lane] = spec_q.to_mont_host([int(p.y)])[:, 0]
-                acc[2 * C:3 * C, lane] = spec_q.one_mont[:, 0]
-            add[0:C, lane] = spec_q.to_mont_host([int(q.x)])[:, 0]
-            add[C:2 * C, lane] = spec_q.to_mont_host([int(q.y)])[:, 0]
-            add[48, lane] = 0 if cases == 4 else 1   # valid row
-            add[49, lane] = 1 if lane % 7 == 0 else 0  # sign row
+                acc[0:C, lane] = spec.to_mont_host([int(p.x)])[:, 0]
+                acc[C:2 * C, lane] = spec.to_mont_host([int(p.y)])[:, 0]
+                acc[2 * C:3 * C, lane] = spec.one_mont[:, 0]
+            add[0:C, lane] = spec.to_mont_host([int(q.x)])[:, 0]
+            add[C:2 * C, lane] = spec.to_mont_host([int(q.y)])[:, 0]
+            vrow = pallas_madd._pad8(2 * C)
+            add[vrow, lane] = 0 if cases == 4 else 1   # valid row
+            add[vrow + 1, lane] = 1 if lane % 7 == 0 else 0  # sign row
         acc_j = jnp.asarray(acc)
         add_j = jnp.asarray(add)
         want = np.asarray(pallas_madd.madd_round_jnp(ops, acc_j, add_j))
@@ -175,7 +176,7 @@ class TestMaddKernelInterpret:
 @pytest.mark.slow
 class TestAffineKernelInterpret:
     """affine_round (Pallas K1/K2/K3, interpret mode) == affine_round_jnp
-    on one tile. Same fresh-process requirement as TestMaddKernelInterpret.
+    on one tile, on the toy curve (see TestMaddKernelInterpret).
 
     The kernel works in the lazy [0, 2p) representation; parity is
     checked after canonicalization (one conditional subtract per
@@ -183,18 +184,19 @@ class TestAffineKernelInterpret:
 
     def test_affine_round_interpret_matches_jnp(self):
         from bellman_tpu.ops import pallas_affine, pallas_madd
+        from toy_curve import rand_toy, toy_ops, toy_spec
 
-        ops = curve.g1_ops()
+        ops = toy_ops()
         rng = random.Random(9)
         W = pallas_madd.TILE
-        C = 24
+        spec = toy_spec()
+        C = spec.L
         RAFF = pallas_affine.rows_aff(ops)
         RD = pallas_madd.rows_add(ops)
-        acc_pts = rand_g1(rng, 8)
-        base_pts = rand_g1(rng, 8)
+        acc_pts = rand_toy(rng, 8)
+        base_pts = rand_toy(rng, 8)
         acc = np.zeros((RAFF, W), np.uint32)
         add = np.zeros((RD, W), np.uint32)
-        spec_q = limbs.spec_for("bls_fq")
         for lane in range(W):
             p = acc_pts[lane % 8]
             q = base_pts[lane % 8]
@@ -204,13 +206,14 @@ class TestAffineKernelInterpret:
             if cases == 2:
                 q = -p                 # cancellation lane
             if cases != 3:             # 3 => lane starts empty
-                acc[0:C, lane] = spec_q.to_mont_host([int(p.x)])[:, 0]
-                acc[C:2 * C, lane] = spec_q.to_mont_host([int(p.y)])[:, 0]
+                acc[0:C, lane] = spec.to_mont_host([int(p.x)])[:, 0]
+                acc[C:2 * C, lane] = spec.to_mont_host([int(p.y)])[:, 0]
                 acc[2 * C, lane] = 1   # nonempty flag
-            add[0:C, lane] = spec_q.to_mont_host([int(q.x)])[:, 0]
-            add[C:2 * C, lane] = spec_q.to_mont_host([int(q.y)])[:, 0]
-            add[48, lane] = 0 if cases == 4 else 1   # valid row
-            add[49, lane] = 1 if lane % 7 == 0 else 0  # sign row
+            add[0:C, lane] = spec.to_mont_host([int(q.x)])[:, 0]
+            add[C:2 * C, lane] = spec.to_mont_host([int(q.y)])[:, 0]
+            vrow = pallas_madd._pad8(2 * C)
+            add[vrow, lane] = 0 if cases == 4 else 1   # valid row
+            add[vrow + 1, lane] = 1 if lane % 7 == 0 else 0  # sign row
         acc_j = jnp.asarray(acc)
         add_j = jnp.asarray(add)
         want = np.asarray(pallas_affine.affine_round_jnp(ops, acc_j, add_j))
@@ -222,10 +225,10 @@ class TestAffineKernelInterpret:
             out = [
                 np.asarray(
                     limbs._cond_sub_p(
-                        spec_q, jnp.asarray(a[b * spec_q.L:(b + 1) * spec_q.L])
+                        spec, jnp.asarray(a[b * spec.L:(b + 1) * spec.L])
                     )
                 )
-                for b in range(2 * C // spec_q.L)
+                for b in range(2 * C // spec.L)
             ]
             return np.concatenate(out, axis=0)
 

@@ -15,12 +15,22 @@ import os
 
 
 def _enable_compilation_cache():
-    """Persist expensive kernel compiles across processes — OPT-IN via
-    BELLMAN_TPU_CACHE=<dir>. (Not enabled by default: on the axon TPU
-    tunnel backend the persistent cache's executable serialization
-    stalls the client for minutes even for tiny programs.)"""
+    """Persist expensive kernel compiles across processes (ON by
+    default; measured on the axon tunnel: 335 s cold Mosaic compile of
+    one fold kernel -> 67 s from a warm cache). Override the directory
+    with BELLMAN_TPU_CACHE=<dir>, disable with BELLMAN_TPU_CACHE=0.
+    tests/conftest.py configures its own CPU-suite cache policy."""
     cache_dir = os.environ.get("BELLMAN_TPU_CACHE")
-    if not cache_dir:
+    if cache_dir is None:
+        # default ON only for real-device runs; CPU test runs keep the
+        # conftest-managed policy (round 1: a G2-MSM executable
+        # segfaulted the XLA-CPU cache writer)
+        if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+            return
+        cache_dir = os.path.join(
+            os.path.dirname(__file__), "..", ".jax_cache_tpu"
+        )
+    if cache_dir in ("0", "", "off"):
         return
     try:
         import jax

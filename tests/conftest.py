@@ -29,8 +29,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # Persistent compilation cache for the CPU backend: MSM/FFT kernel
 # compiles dominate suite time; caching them across runs/processes is
-# safe on CPU (the axon TPU backend stalls on cache serialization, so
-# bellman_tpu.__init__ leaves it opt-in there).
+# safe on CPU. (bellman_tpu.__init__ enables a separate default cache
+# for real-device runs; it skips CPU runs so this policy stays in
+# charge for the test suite.)
 #
 # Writing the very largest executables (the 24-limb Fq2 G2 MSM at full
 # window width) segfaults inside zstandard's compressor, so the cache

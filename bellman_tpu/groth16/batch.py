@@ -95,6 +95,31 @@ class Verifier:
 
         self._close_and_check(vk, ml_terms, gammas, delta_acc, y_acc)
 
+    def verify_device(self, vk, rng=None):
+        """``verify`` with the accumulation on device: one lane-batched
+        double-and-add computes every z*A, z*C, and Gamma_i*ic_i, and
+        Delta/Psi tree-fold on chip (ops/batch_acc.py); only the Miller
+        loops stay on the host (native pairing). Bls12_381Engine only.
+        ``rng`` must be a CSPRNG; None gets secrets.SystemRandom."""
+        self._check_input_lengths(vk)
+        if not self.items:
+            return
+        engine = self.engine
+        field = engine.Fr
+
+        from ..ops.batch_acc import device_accumulate
+
+        zs = [self._nonzero_z(rng, field) for _ in self.items]
+        ml_terms, delta_acc, psi, y_acc = device_accumulate(
+            engine, self.items, vk, zs
+        )
+        ml_terms.append((delta_acc, vk.delta_g2))
+        ml_terms.append((psi, vk.gamma_g2))
+        ml_terms.append((vk.alpha_g1.mul_int(int(y_acc)), vk.beta_g2))
+        result = engine.multi_miller_loop(ml_terms).final_exponentiation()
+        if result != engine.gt_identity():
+            raise InvalidProof("batched pairing equation does not hold")
+
     def verify_chunked(self, vk, rng=None, chunk_size: int = 8):
         """verify_multicore's schedule: one random z per chunk of 8, item
         weights z, z^2, ... within the chunk; accumulators reduced as a

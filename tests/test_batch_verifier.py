@@ -74,6 +74,36 @@ def test_batch_verify_accepts_valid_and_rejects_invalid(engine, schedule):
         run(bad2)
 
 
+@pytest.mark.slow
+def test_batch_verify_device_accumulation():
+    """verify_device (ops/batch_acc.py): the lane-batched double-and-add
+    + device tree folds accept valid batches and reject a corrupted
+    statement, matching the host schedule's verdicts."""
+    engine = Bls12_381Engine
+    Fr = engine.Fr
+    rng = random.Random(7)
+
+    params = generate_random_parameters(engine, SquareDemo(), rng)
+    proofs = []
+    for _ in range(3):
+        x = Fr.random(rng)
+        proof = create_random_proof(engine, SquareDemo(x=x), params, rng)
+        proofs.append((proof, [x.square()]))
+
+    def run(items):
+        v = batch.Verifier(engine)
+        for proof, inputs in items:
+            v.queue(proof, inputs)
+        v.verify_device(params.vk, rng)
+
+    run(proofs)
+
+    bad = list(proofs)
+    bad[1] = (bad[1][0], [Fr.random(rng)])
+    with pytest.raises(VerificationError):
+        run(bad)
+
+
 def test_empty_batch_is_valid():
     rng = random.Random(1)
     params = generate_random_parameters(DummyEngine, SquareDemo(), rng)

@@ -174,6 +174,59 @@ def _group_pipeline(ops: CurveOps, cap: int, lsub: int, mode: str,
     return _fold_group(ops, prep, cap, mode, fold)
 
 
+# Compiled-executable cache for _group_pipeline variants. An MSM at a
+# new size compiles one pipeline PER occupancy group (~6-10 shapes);
+# each Mosaic compile through the axon tunnel is minutes, and plain jit
+# dispatch serializes them. Lowering+compiling every variant up front
+# on a thread pool overlaps the compiles (XLA releases the GIL), which
+# is the difference between ~an hour and ~minutes of cold start at
+# 2^20+. Keyed by static config + operand shapes.
+_GROUP_EXEC: dict = {}
+_GROUP_EXEC_LOCK = __import__("threading").Lock()
+
+
+def _group_exec_key(ops, cap, lsub, mode, fold, args):
+    return (
+        ops.f.spec.name, type(ops.f).__name__, cap, lsub, mode, fold,
+        tuple((tuple(a.shape), str(a.dtype)) for a in args),
+    )
+
+
+def _group_exec(ops, cap, lsub, mode, fold, args):
+    key = _group_exec_key(ops, cap, lsub, mode, fold, args)
+    with _GROUP_EXEC_LOCK:
+        exe = _GROUP_EXEC.get(key)
+    if exe is None:
+        exe = _group_pipeline.lower(
+            ops, cap, lsub, mode, fold, *args
+        ).compile()
+        with _GROUP_EXEC_LOCK:
+            _GROUP_EXEC[key] = exe
+    return exe
+
+
+def _warm_group_execs(ops, mode, fold, tasks, log):
+    """Compile all distinct group-pipeline variants concurrently."""
+    import concurrent.futures as cf
+
+    uniq = {}
+    for cap, lsub, args in tasks:
+        key = _group_exec_key(ops, cap, lsub, mode, fold, args)
+        if key not in _GROUP_EXEC:
+            uniq[key] = (cap, lsub, args)
+    if not uniq:
+        return
+    log(f"compiling {len(uniq)} group pipelines in parallel")
+    with cf.ThreadPoolExecutor(max_workers=min(8, len(uniq))) as ex:
+        futs = [
+            ex.submit(_group_exec, ops, cap, lsub, mode, fold, args)
+            for cap, lsub, args in uniq.values()
+        ]
+        for f in futs:
+            f.result()
+    log("group pipelines compiled")
+
+
 def _heavy_lane_total(ops: CurveOps, lane: int, occ: int, starts_s, occ_s,
                       fenc_sorted, packed, mode: str):
     """Per-lane path for buckets too occupied for group layouts: fold a
@@ -290,17 +343,45 @@ def _msm3_run(ops: CurveOps, points, scalar_limbs, c, mode, finish,
     results = []  # (lane_lo, lane_hi, (3C, n_lanes) array), sorted order
     heavy_cols = []
 
+    # plan first: group chunks are collected so every distinct pipeline
+    # shape can compile concurrently before any dispatch
+    plan = []  # (lo, hi, kind, payload)
+    group_tasks = []
     for cap, lo, hi in groups:
         lg = hi - lo
         if mode == "jnp":
             # CPU twins have no tile-alignment constraints: one exact
             # chunk per group, no padding, no heavy path
-            results.append((lo, hi, _group_pipeline(
-                ops, cap, lg, mode, fold, jnp.uint32(lo), jnp.uint32(hi),
-                starts_s, occ_s, fenc_sorted, packed_pts
-            )))
+            plan.append((lo, hi, "jnp", cap))
             continue
         if cap > heavy_cap_limit or lg * max(2 * TILE, cap) < cap * TILE:
+            plan.append((lo, hi, "heavy", None))
+            continue
+        # lsub >= TILE: every fold level (down to width lsub) must stay
+        # tile-aligned for the Pallas kernels
+        lsub = max(TILE, min(_pow2ceil(lg), CHUNK_SLOTS // cap))
+        chunk_tasks = []
+        off = lo
+        while off < hi:
+            args = (jnp.uint32(off), jnp.uint32(hi), starts_s, occ_s,
+                    fenc_sorted, packed_pts)
+            chunk_tasks.append((cap, lsub, args))
+            group_tasks.append((cap, lsub, args))
+            off += lsub
+        plan.append((lo, hi, "group", chunk_tasks))
+
+    if group_tasks:
+        _warm_group_execs(ops, mode, fold, group_tasks, _log)
+
+    for lo, hi, kind, payload in plan:
+        lg = hi - lo
+        if kind == "jnp":
+            results.append((lo, hi, _group_pipeline(
+                ops, payload, lg, mode, fold, jnp.uint32(lo),
+                jnp.uint32(hi), starts_s, occ_s, fenc_sorted, packed_pts
+            )))
+            continue
+        if kind == "heavy":
             # per-lane heavy/sparse path
             occ_host = np.asarray(
                 jax.device_get(
@@ -318,20 +399,10 @@ def _msm3_run(ops: CurveOps, points, scalar_limbs, c, mode, finish,
             results.append((lo, hi, jnp.concatenate(cols, axis=1)))
             heavy_cols.append(lg)
             continue
-        # lsub >= TILE: every fold level (down to width lsub) must stay
-        # tile-aligned for the Pallas kernels
-        lsub = max(TILE, min(_pow2ceil(lg), CHUNK_SLOTS // cap))
-        off = lo
         chunks = []
-        while off < hi:
-            chunks.append(
-                _group_pipeline(
-                    ops, cap, lsub, mode, fold, jnp.uint32(off),
-                    jnp.uint32(hi), starts_s, occ_s, fenc_sorted,
-                    packed_pts
-                )
-            )
-            off += lsub
+        for cap, lsub, args in payload:
+            exe = _group_exec(ops, cap, lsub, mode, fold, args)
+            chunks.append(exe(*args))
         arr = chunks[0] if len(chunks) == 1 else jnp.concatenate(
             chunks, axis=1
         )

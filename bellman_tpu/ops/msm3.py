@@ -205,6 +205,64 @@ def _group_exec(ops, cap, lsub, mode, fold, args):
     return exe
 
 
+# The bit-weighted totals pass (_totals_bits) is another minutes-long
+# Mosaic compile, and its operand shapes depend only on (nw, half, c) —
+# known BEFORE the schedule runs. Warming it on a thread as soon as the
+# window config is known overlaps it with the schedule + group-pipeline
+# compiles, removing it from the serial cold-start chain.
+_TOT_EXEC: dict = {}
+_TOT_EXEC_LOCK = __import__("threading").Lock()
+_TOT_EXEC_PENDING: dict = {}
+
+
+def _totals_exec(ops: CurveOps, nw: int, half: int, c: int, mode: str):
+    RJ = rows_jac(ops)
+    W0 = nw * half
+    key = (ops.f.spec.name, type(ops.f).__name__, nw, half, c, mode)
+    with _TOT_EXEC_LOCK:
+        exe = _TOT_EXEC.get(key)
+        fut = _TOT_EXEC_PENDING.get(key)
+    if exe is not None:
+        return exe
+    if fut is not None:
+        return fut.result()
+    exe = _totals_bits.lower(
+        ops, nw, half, c, mode,
+        jax.ShapeDtypeStruct((RJ, W0), jnp.uint32),
+        jax.ShapeDtypeStruct((W0,), jnp.int32),
+    ).compile()
+    with _TOT_EXEC_LOCK:
+        _TOT_EXEC[key] = exe
+    return exe
+
+
+def _warm_totals_exec(ops: CurveOps, nw: int, half: int, c: int, mode: str):
+    """Kick off the totals-pass compile on a background thread."""
+    import concurrent.futures as cf
+
+    key = (ops.f.spec.name, type(ops.f).__name__, nw, half, c, mode)
+    with _TOT_EXEC_LOCK:
+        if key in _TOT_EXEC or key in _TOT_EXEC_PENDING:
+            return
+        ex = cf.ThreadPoolExecutor(max_workers=1)
+
+        def compile_it():
+            RJ = rows_jac(ops)
+            W0 = nw * half
+            exe = _totals_bits.lower(
+                ops, nw, half, c, mode,
+                jax.ShapeDtypeStruct((RJ, W0), jnp.uint32),
+                jax.ShapeDtypeStruct((W0,), jnp.int32),
+            ).compile()
+            with _TOT_EXEC_LOCK:
+                _TOT_EXEC[key] = exe
+                _TOT_EXEC_PENDING.pop(key, None)
+            return exe
+
+        _TOT_EXEC_PENDING[key] = ex.submit(compile_it)
+        ex.shutdown(wait=False)
+
+
 def _warm_group_execs(ops, mode, fold, tasks, log):
     """Compile all distinct group-pipeline variants concurrently."""
     import concurrent.futures as cf
@@ -324,6 +382,9 @@ def _msm3_run(ops: CurveOps, points, scalar_limbs, c, mode, finish,
     C = _C(ops)
     RJ = rows_jac(ops)
 
+    if finish == "pending" and mode == "pallas":
+        _warm_totals_exec(ops, nw, half, c, mode)
+
     if isinstance(points, PackedBases):
         packed_pts, inf_mask = points.packed, points.inf_mask
     else:
@@ -429,7 +490,12 @@ def _msm3_run(ops: CurveOps, points, scalar_limbs, c, mode, finish,
         # bit-weighted totals: T_w = Σ_k 2^k · U_{w,k} with
         # U_{w,k} = Σ_{b: bit k of b set} S_{w,b} — replaces the
         # sequential bucket suffix scans with log-depth 3D folds
-        U = _totals_bits(ops, nw, half, c, mode, acc_sorted, lane_order)
+        if mode == "pallas":
+            U = _totals_exec(ops, nw, half, c, mode)(
+                acc_sorted, lane_order
+            )
+        else:
+            U = _totals_bits(ops, nw, half, c, mode, acc_sorted, lane_order)
         if verbose:
             jax.block_until_ready(U)
             _log("bit-weighted window totals done")

@@ -33,12 +33,18 @@ class Waiter:
 
     XLA dispatch is async: the wrapped value may contain device arrays
     whose results are still being computed; ``wait`` blocks on them.
+    ``finish`` is an optional host-side completion (e.g. the MSM window
+    fold over the device bit-plane totals) applied at wait time — the
+    production prover dispatches all 8 MSMs as Waiters and blocks only
+    at proof assembly, the overlap of multicore.rs:33-76 +
+    groth16/src/prover.rs:244-354.
     """
 
-    __slots__ = ("_value",)
+    __slots__ = ("_value", "_finish")
 
-    def __init__(self, value):
+    def __init__(self, value, finish=None):
         self._value = value
+        self._finish = finish
 
     @classmethod
     def done(cls, value) -> "Waiter":
@@ -54,6 +60,8 @@ class Waiter:
             )
         except ImportError:  # host-only payloads
             pass
+        if self._finish is not None:
+            return self._finish(self._value)
         return self._value
 
 

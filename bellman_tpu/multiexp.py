@@ -10,7 +10,8 @@ matching the CRS's zero-point filtering —
 rejected with UnexpectedIdentity (/root/reference/src/multiexp.rs:63-65).
 
 The host path here is the oracle (naive double-and-add); the TPU Pippenger
-kernel lives in ``bellman_tpu.ops.msm`` and is cross-checked against it,
+kernels live in ``bellman_tpu.ops.msm3`` (with ``ops.msm2`` hosting the
+schedule/packing layer) and are cross-checked against it,
 replicating the reference's own test strategy
 (/root/reference/src/multiexp.rs:334-378).
 """

@@ -302,3 +302,26 @@ def jacobian_to_host(ops: CurveOps, p, point_cls):
         xe, ye = wrap(x), wrap(y)
         out.append(point_cls(xe * zinv2, ye * zinv2 * zinv))
     return out
+
+
+def pack_jac(ops: CurveOps, p):
+    """Jacobian point tuple (X, Y, Z) -> one (3*C, n) uint32 array.
+
+    A pytree-uniform layout for code that carries point batches through
+    gathers/concats (fixed-base tables, tests); the MSM pipelines use
+    the affine 16-bit-packed layout of ops.msm2.pack_points instead."""
+    n = p[0].shape[-1]
+    C = int(np.prod(ops.f.coeff_shape))
+    return jnp.concatenate([c.reshape(C, n) for c in p], axis=0)
+
+
+def unpack_jac(ops: CurveOps, a):
+    """Inverse of pack_jac: (3*C, n) -> (X, Y, Z) coefficient tuples."""
+    C = int(np.prod(ops.f.coeff_shape))
+    n = a.shape[-1]
+    cs = ops.f.coeff_shape + (n,)
+    return (
+        a[:C].reshape(cs),
+        a[C : 2 * C].reshape(cs),
+        a[2 * C :].reshape(cs),
+    )

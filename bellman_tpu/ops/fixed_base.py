@@ -20,8 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import limbs, msm
-from .curve import CurveOps
+from . import limbs
+from .curve import CurveOps, pack_jac, unpack_jac
 
 
 class FixedBaseTable:
@@ -60,12 +60,22 @@ class FixedBaseTable:
             dev = curve_mod.g1_to_device(points)
         else:
             dev = curve_mod.g2_to_device(points)
-        return msm._pack(ops, dev)
+        return pack_jac(ops, dev)
 
     def apply(self, scalar_limbs):
         """scalar_limbs: (L, n) plain form -> Jacobian point batch (n,)."""
         return _apply_table(self.ops, self.c, self.num_windows, self.table,
                             scalar_limbs)
+
+
+def _extract_digits(scalar_limbs, window: int, c: int):
+    """Digit ``window`` of each scalar: bits [w*c, (w+1)*c); c | 16.
+    scalar_limbs: (L, n) uint32 plain-form 16-bit limbs."""
+    assert 16 % c == 0, "window size must divide the 16-bit limb width"
+    per = 16 // c
+    limb = scalar_limbs[window // per]
+    shift = (window % per) * c
+    return (limb >> shift) & ((1 << c) - 1)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
@@ -76,19 +86,19 @@ def _apply_table(ops: CurveOps, c: int, num_windows: int, table, scalar_limbs):
     n = scalar_limbs.shape[-1]
     digit_rows = jnp.stack(
         [
-            jnp.uint32(w << c) + msm.extract_digits(scalar_limbs, w, c)
+            jnp.uint32(w << c) + _extract_digits(scalar_limbs, w, c)
             for w in range(num_windows)
         ]
     )  # (nw, n) global table indices
 
     def body(acc, idx):
-        pts = msm._pack(ops, msm._unpack(ops, jnp.take(table, idx, axis=-1)))
-        merged = msm._pack(
-            ops, ops.add(msm._unpack(ops, acc), msm._unpack(ops, pts))
+        pts = jnp.take(table, idx, axis=-1)
+        merged = pack_jac(
+            ops, ops.add(unpack_jac(ops, acc), unpack_jac(ops, pts))
         )
         return merged, None
 
-    init = msm._pack(ops, msm._unpack(ops, jnp.take(table, digit_rows[0], axis=-1)))
+    init = jnp.take(table, digit_rows[0], axis=-1)
     acc, _ = jax.lax.scan(body, init, digit_rows[1:])
     return acc
 
@@ -97,7 +107,7 @@ def _apply_table(ops: CurveOps, c: int, num_windows: int, table, scalar_limbs):
 def batch_to_affine(ops: CurveOps, packed):
     """Jacobian batch -> affine coords + infinity mask, on device
     (batch-normalize: one field inversion for the whole batch)."""
-    X, Y, Z = msm._unpack(ops, packed)
+    X, Y, Z = unpack_jac(ops, packed)
     f = ops.f
     spec = f.spec
     if len(f.coeff_shape) == 1:

@@ -36,7 +36,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import limbs
-from . import scan as scanlib
 from .curve import CurveOps
 from . import pallas_madd
 from . import pallas_affine
@@ -256,20 +255,30 @@ def _run_seg(ops: CurveOps, width: int, W0: int, mode: str,
 
 
 def _seg_scan_any(ops: CurveOps, packed, flags, mode: str):
-    if mode == "jnp":
-        inf1 = _pack1(ops, ops.infinity((1,)))
-        from .msm import _seg_combine
-
-        out, _ = scanlib.chunked_scan(
-            _seg_combine(ops),
-            (inf1, jnp.zeros((1, 1), jnp.uint32)),
-            (packed, flags),
+    """Segmented inclusive scan over lanes (flags mark segment starts),
+    as log2(W) Hillis-Steele steps of full-width Jacobian adds — pure
+    vector ops, so the same code serves every mode/backend (it replaced
+    the round-1 sequential-grid Pallas scan kernel; the hot paths now
+    reduce via the tree folds of ops/pallas_fold.py instead)."""
+    del mode  # vector-op implementation is mode-independent
+    W = packed.shape[-1]
+    x = packed
+    f = flags[0].astype(bool)
+    d = 1
+    while d < W:
+        # shift right by d: lane i combines with lane i-d unless a
+        # segment boundary lies in (i-d, i] (tracked by accumulated f);
+        # shifted-in lanes are the identity (1, 1, 0), not zeros
+        inf_cols = jnp.broadcast_to(
+            _pack1(ops, ops.infinity((1,))), (x.shape[0], d)
         )
-        return out
-    from . import pallas_scan
-
-    return pallas_scan.seg_scan(ops, packed, flags,
-                                interpret=(mode == "interpret"))
+        xs = jnp.concatenate([inf_cols, x[:, : W - d]], axis=1)
+        fs = jnp.pad(f[: W - d], (d, 0), constant_values=True)
+        summed = _pack1(ops, ops.add(_unpack1(ops, x), _unpack1(ops, xs)))
+        x = jnp.where(f[None, :], x, summed)
+        f = f | fs
+        d <<= 1
+    return x
 
 
 def _pack1(ops: CurveOps, p):
@@ -478,3 +487,29 @@ def msm2(ops: CurveOps, points, scalar_limbs, c: int | None = None,
         return fold_host(tot_pts, nw, c, point_cls.identity())
     res = _fold_windows(ops, nw, c, tot)
     return _unpack1(ops, res)
+
+
+# ---------------------------------------------------------------------------
+# DummyEngine "MSM": the mock group is F_64513 additive with g*k = g*k,
+# so the MSM is an inner product mod p (dummy_engine.rs:336-369).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def dummy_inner_product(spec: limbs.FieldSpec, bases_mont, scalars_mont):
+    """sum_i bases_i * scalars_i over F_p; (L, n) Montgomery inputs,
+    (L, 1) Montgomery output."""
+    prod = limbs.mont_mul_r(spec, bases_mont, scalars_mont)
+    n = prod.shape[-1]
+    while n > 1:
+        half = (n + 1) // 2
+        lo = prod[..., :half]
+        hi = prod[..., half:]
+        pad = half - hi.shape[-1]
+        if pad:
+            hi = jnp.concatenate(
+                [hi, jnp.zeros(hi.shape[:-1] + (pad,), hi.dtype)], axis=-1
+            )
+        prod = limbs.add_r(spec, lo, hi)
+        n = half
+    return prod

@@ -215,9 +215,42 @@ _TOT_EXEC_LOCK = __import__("threading").Lock()
 _TOT_EXEC_PENDING: dict = {}
 
 
-def _totals_exec(ops: CurveOps, nw: int, half: int, c: int, mode: str):
+class _PendingCompile:
+    """Result slot for a background compile on a daemon thread (a
+    non-daemon executor thread would block process exit for the
+    minutes-long Mosaic compile via concurrent.futures' atexit join)."""
+
+    __slots__ = ("_done", "_exe", "_exc")
+
+    def __init__(self):
+        import threading
+
+        self._done = threading.Event()
+        self._exe = None
+        self._exc = None
+
+    def set(self, exe=None, exc=None):
+        self._exe, self._exc = exe, exc
+        self._done.set()
+
+    def result(self):
+        self._done.wait()
+        if self._exc is not None:
+            raise self._exc
+        return self._exe
+
+
+def _lower_totals(ops: CurveOps, nw: int, half: int, c: int, mode: str):
     RJ = rows_jac(ops)
     W0 = nw * half
+    return _totals_bits.lower(
+        ops, nw, half, c, mode,
+        jax.ShapeDtypeStruct((RJ, W0), jnp.uint32),
+        jax.ShapeDtypeStruct((W0,), jnp.int32),
+    ).compile()
+
+
+def _totals_exec(ops: CurveOps, nw: int, half: int, c: int, mode: str):
     key = (ops.f.spec.name, type(ops.f).__name__, nw, half, c, mode)
     with _TOT_EXEC_LOCK:
         exe = _TOT_EXEC.get(key)
@@ -225,42 +258,41 @@ def _totals_exec(ops: CurveOps, nw: int, half: int, c: int, mode: str):
     if exe is not None:
         return exe
     if fut is not None:
-        return fut.result()
-    exe = _totals_bits.lower(
-        ops, nw, half, c, mode,
-        jax.ShapeDtypeStruct((RJ, W0), jnp.uint32),
-        jax.ShapeDtypeStruct((W0,), jnp.int32),
-    ).compile()
+        try:
+            return fut.result()
+        except Exception:
+            pass  # transient background-compile failure: retry inline
+    exe = _lower_totals(ops, nw, half, c, mode)
     with _TOT_EXEC_LOCK:
         _TOT_EXEC[key] = exe
     return exe
 
 
 def _warm_totals_exec(ops: CurveOps, nw: int, half: int, c: int, mode: str):
-    """Kick off the totals-pass compile on a background thread."""
-    import concurrent.futures as cf
+    """Kick off the totals-pass compile on a daemon thread."""
+    import threading
 
     key = (ops.f.spec.name, type(ops.f).__name__, nw, half, c, mode)
     with _TOT_EXEC_LOCK:
         if key in _TOT_EXEC or key in _TOT_EXEC_PENDING:
             return
-        ex = cf.ThreadPoolExecutor(max_workers=1)
+        pending = _PendingCompile()
+        _TOT_EXEC_PENDING[key] = pending
 
-        def compile_it():
-            RJ = rows_jac(ops)
-            W0 = nw * half
-            exe = _totals_bits.lower(
-                ops, nw, half, c, mode,
-                jax.ShapeDtypeStruct((RJ, W0), jnp.uint32),
-                jax.ShapeDtypeStruct((W0,), jnp.int32),
-            ).compile()
+    def compile_it():
+        try:
+            exe = _lower_totals(ops, nw, half, c, mode)
+        except Exception as e:  # surface via result(); allow inline retry
             with _TOT_EXEC_LOCK:
-                _TOT_EXEC[key] = exe
                 _TOT_EXEC_PENDING.pop(key, None)
-            return exe
+            pending.set(exc=e)
+            return
+        with _TOT_EXEC_LOCK:
+            _TOT_EXEC[key] = exe
+            _TOT_EXEC_PENDING.pop(key, None)
+        pending.set(exe=exe)
 
-        _TOT_EXEC_PENDING[key] = ex.submit(compile_it)
-        ex.shutdown(wait=False)
+    threading.Thread(target=compile_it, daemon=True).start()
 
 
 def _warm_group_execs(ops, mode, fold, tasks, log):
@@ -491,8 +523,10 @@ def _msm3_run(ops: CurveOps, points, scalar_limbs, c, mode, finish,
         # U_{w,k} = Σ_{b: bit k of b set} S_{w,b} — replaces the
         # sequential bucket suffix scans with log-depth 3D folds
         if mode == "pallas":
+            # cast pins the AOT signature: the lowered executable
+            # hard-codes int32, independent of argsort's output dtype
             U = _totals_exec(ops, nw, half, c, mode)(
-                acc_sorted, lane_order
+                acc_sorted, lane_order.astype(jnp.int32)
             )
         else:
             U = _totals_bits(ops, nw, half, c, mode, acc_sorted, lane_order)

@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import limbs
 from .curve import CurveOps
-from .pallas_scan import _kernel_curve_ops, _C
+from .kernel_ops import _kernel_curve_ops, _C
 from .pallas_madd import TILE, _pad8, rows_add
 
 

@@ -51,7 +51,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import limbs
 from .curve import CurveOps
-from .pallas_scan import _C
+from .kernel_ops import _C
 from .pallas_affine import (
     _LazyFieldOps,
     _lazy_ops,

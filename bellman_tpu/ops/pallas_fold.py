@@ -10,7 +10,7 @@ reduces each bucket with contiguous pairwise folds:
             slot (rank r, lane l) combines with (r + cap/2, l))
 
 Every fold is a full-width branchless Jacobian add (ops/curve.py
-formulas via the kernel field ops of ops/pallas_scan.py); empty/padded
+formulas via the kernel field ops of ops/kernel_ops.py); empty/padded
 slots are encoded as Z = 0 and need no flag machinery — the add's
 identity masking handles them. log2(cap) sequential levels replace the
 occupancy-many sequential rounds of msm2 (/root/reference/src/
@@ -45,7 +45,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .curve import CurveOps
-from .pallas_scan import _kernel_curve_ops, _C
+from .kernel_ops import _kernel_curve_ops, _C
 
 TILE = 2048
 SUB = TILE // 128  # sublane blocks per kernel tile (16, 128)

@@ -32,7 +32,8 @@ from ..algebra.engine import DummyEngine, Bls12_381Engine, DummyG
 from ..r1cs import UnexpectedIdentity
 from ..groth16.types import Proof
 from ..groth16.prover import synthesize_for_proving
-from . import curve, fft, limbs, msm, msm2, msm3
+from ..multicore import Waiter
+from . import curve, fft, limbs, msm2, msm3
 
 
 class BlsBackend:
@@ -60,16 +61,18 @@ class BlsBackend:
         return dev.slice(start, stop)
 
     def msm_g1(self, bases_dev, exp_limbs):
-        return msm3.msm3_start(curve.g1_ops(), bases_dev, exp_limbs)
+        ops = curve.g1_ops()
+        pending = msm3.msm3_start(ops, bases_dev, exp_limbs)
+        return Waiter(
+            pending, finish=lambda p: msm3.msm3_finish(ops, p, bls.G1Affine)
+        )
 
     def msm_g2(self, bases_dev, exp_limbs):
-        return msm3.msm3_start(curve.g2_ops(), bases_dev, exp_limbs)
-
-    def msm_g1_to_host(self, result):
-        return msm3.msm3_finish(curve.g1_ops(), result, bls.G1Affine)
-
-    def msm_g2_to_host(self, result):
-        return msm3.msm3_finish(curve.g2_ops(), result, bls.G2Affine)
+        ops = curve.g2_ops()
+        pending = msm3.msm3_start(ops, bases_dev, exp_limbs)
+        return Waiter(
+            pending, finish=lambda p: msm3.msm3_finish(ops, p, bls.G2Affine)
+        )
 
 
 class DummyBackend:
@@ -89,16 +92,14 @@ class DummyBackend:
 
     def _msm(self, bases_dev, exp_limbs):
         exps_mont = limbs.to_mont(self.fr_spec, exp_limbs)
-        return msm.dummy_inner_product(self.fr_spec, bases_dev, exps_mont)
+        res = msm2.dummy_inner_product(self.fr_spec, bases_dev, exps_mont)
+        return Waiter(
+            res,
+            finish=lambda v: DummyG(self.fr_spec.from_mont_host(v)[0]),
+        )
 
     msm_g1 = _msm
     msm_g2 = _msm
-
-    def _to_host(self, result):
-        return DummyG(self.fr_spec.from_mont_host(result)[0])
-
-    msm_g1_to_host = _to_host
-    msm_g2_to_host = _to_host
 
 
 _BACKENDS = {}
@@ -216,10 +217,10 @@ def create_proof_on_device(engine, circuit, params: DeviceParameters, r, s):
     G1, G2 = engine.G1, engine.G2
 
     def pull_g1(res):
-        return bk.msm_g1_to_host(res) if res is not None else G1.identity()
+        return res.wait() if res is not None else G1.identity()
 
     def pull_g2(res):
-        return bk.msm_g2_to_host(res) if res is not None else G2.identity()
+        return res.wait() if res is not None else G2.identity()
 
     h_pt = pull_g1(h_res)
     l_pt = pull_g1(l_res)
@@ -334,10 +335,10 @@ def create_proof_compiled(engine, compiled, input_limbs, aux_limbs,
     G1, G2 = engine.G1, engine.G2
 
     def pull_g1(res):
-        return bk.msm_g1_to_host(res) if res is not None else G1.identity()
+        return res.wait() if res is not None else G1.identity()
 
     def pull_g2(res):
-        return bk.msm_g2_to_host(res) if res is not None else G2.identity()
+        return res.wait() if res is not None else G2.identity()
 
     h_pt = pull_g1(h_res)
     l_pt = pull_g1(l_res)

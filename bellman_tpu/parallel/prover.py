@@ -26,7 +26,7 @@ from ..algebra import bls12_381 as bls
 from ..r1cs import UnexpectedIdentity
 from ..groth16.types import Proof
 from ..groth16.prover import synthesize_for_proving
-from ..ops import curve, limbs, msm
+from ..ops import curve, limbs, msm2
 from ..ops.prover import _compact
 from . import sharding
 from .sharding import AXIS, ShardedDomainPlan
@@ -78,26 +78,27 @@ class ShardedDeviceParameters:
         k = _pad_to(len(points), self.T * self.min_block)
         return list(points) + [cls.identity()] * (k - len(points))
 
-    def _upload_g1(self, points, allow_identity=False):
+    def _upload(self, ops, to_device, points, cls, allow_identity):
         if not allow_identity:
             for p in points:
                 if p.is_identity():
                     raise UnexpectedIdentity("identity base in multiexp")
-        pts = self._pad_points(points, self.engine.G1)
-        packed = msm._pack(curve.g1_ops(), curve.g1_to_device(pts))
-        return jax.device_put(
-            np.asarray(jax.device_get(packed)), self.batch_spec
+        pts = self._pad_points(points, cls)
+        packed, inf = msm2.pack_points(ops, to_device(pts))
+        mask_spec = NamedSharding(self.mesh, P(AXIS))
+        return (
+            jax.device_put(np.asarray(jax.device_get(packed)),
+                           self.batch_spec),
+            jax.device_put(np.asarray(jax.device_get(inf)), mask_spec),
         )
 
+    def _upload_g1(self, points, allow_identity=False):
+        return self._upload(curve.g1_ops(), curve.g1_to_device, points,
+                            self.engine.G1, allow_identity)
+
     def _upload_g2(self, points):
-        for p in points:
-            if p.is_identity():
-                raise UnexpectedIdentity("identity base in multiexp")
-        pts = self._pad_points(points, self.engine.G2)
-        packed = msm._pack(curve.g2_ops(), curve.g2_to_device(pts))
-        return jax.device_put(
-            np.asarray(jax.device_get(packed)), self.batch_spec
-        )
+        return self._upload(curve.g2_ops(), curve.g2_to_device, points,
+                            self.engine.G2, False)
 
     # -- sharded scalar upload ------------------------------------------------
     def scalars(self, ints, pad_to):
@@ -143,8 +144,9 @@ def create_proof_sharded(engine, circuit, params: ShardedDeviceParameters,
     ops1, ops2 = curve.g1_ops(), curve.g2_ops()
 
     # h MSM: bases already cyclic-ordered; top slot has a zero coefficient
-    h_res = sharding.sharded_msm(
-        ops1, params.h, h_plain_cyclic, mesh, c=params.window_c
+    h_pt = sharding.sharded_msm(
+        ops1, params.h[0], params.h[1], h_plain_cyclic, mesh,
+        bls.G1Affine, c=params.window_c
     )
 
     pad_unit = T * params.min_block
@@ -152,59 +154,66 @@ def create_proof_sharded(engine, circuit, params: ShardedDeviceParameters,
     input_ints = [int(v) for v in prover.input_assignment]
     aux_ints = [int(v) for v in prover.aux_assignment]
 
-    def q_msm(ops, packed, start, stop, exps):
+    mask_spec = NamedSharding(mesh, P(AXIS))
+
+    def q_msm(ops, query, start, stop, exps, cls):
         """MSM over query columns [start, stop) with identity padding to
-        a mesh-divisible width, resharded block-wise across the mesh."""
+        a mesh-divisible width, resharded block-wise across the mesh.
+        Pad columns carry inf_mask=True (and zero scalars), so their
+        packed coordinates are never gathered."""
         if not exps:
-            return None
+            return cls.identity()
+        packed, inf = query
         assert stop - start == len(exps)
         k = _pad_to(len(exps), pad_unit)
         cols = _slice_cols(packed, start, stop)
+        mask = inf[start:stop]
         pad_cols = k - (stop - start)
         if pad_cols:
-            inf = msm._pack(ops, ops.infinity((pad_cols,)))
-            cols = jnp.concatenate([cols, inf], axis=-1)
+            cols = jnp.concatenate(
+                [cols, jnp.zeros(cols.shape[:-1] + (pad_cols,), cols.dtype)],
+                axis=-1,
+            )
+            mask = jnp.concatenate(
+                [mask, jnp.ones((pad_cols,), mask.dtype)], axis=-1
+            )
         cols = jax.device_put(cols, params.batch_spec)
+        mask = jax.device_put(mask, mask_spec)
         return sharding.sharded_msm(
-            ops, cols, params.scalars(exps, k), mesh, c=params.window_c
+            ops, cols, mask, params.scalars(exps, k), mesh, cls,
+            c=params.window_c
         )
 
     # l (aux, full density)
-    l_res = q_msm(ops1, params.l, 0, params.n_l, aux_ints)
+    l_pt = q_msm(ops1, params.l, 0, params.n_l, aux_ints, bls.G1Affine)
 
     # a query split at num_inputs (ParameterSource semantics)
     a_aux_exp = _compact(prover.aux_assignment, prover.a_aux_density)
-    a_in_res = q_msm(ops1, params.a, 0, num_inputs, input_ints)
-    a_aux_res = q_msm(
-        ops1, params.a, num_inputs, num_inputs + len(a_aux_exp), a_aux_exp
+    a_in = q_msm(ops1, params.a, 0, num_inputs, input_ints, bls.G1Affine)
+    a_aux = q_msm(
+        ops1, params.a, num_inputs, num_inputs + len(a_aux_exp), a_aux_exp,
+        bls.G1Affine,
     )
 
     b_in_exp = _compact(prover.input_assignment, prover.b_input_density)
     b_aux_exp = _compact(prover.aux_assignment, prover.b_aux_density)
     nb_in = len(b_in_exp)
 
-    b1_in_res = q_msm(ops1, params.b_g1, 0, nb_in, b_in_exp)
-    b1_aux_res = q_msm(
-        ops1, params.b_g1, nb_in, nb_in + len(b_aux_exp), b_aux_exp
+    b1_in = q_msm(ops1, params.b_g1, 0, nb_in, b_in_exp, bls.G1Affine)
+    b1_aux = q_msm(
+        ops1, params.b_g1, nb_in, nb_in + len(b_aux_exp), b_aux_exp,
+        bls.G1Affine,
     )
-    b2_in_res = q_msm(ops2, params.b_g2, 0, nb_in, b_in_exp)
-    b2_aux_res = q_msm(
-        ops2, params.b_g2, nb_in, nb_in + len(b_aux_exp), b_aux_exp
+    b2_in = q_msm(ops2, params.b_g2, 0, nb_in, b_in_exp, bls.G2Affine)
+    b2_aux = q_msm(
+        ops2, params.b_g2, nb_in, nb_in + len(b_aux_exp), b_aux_exp,
+        bls.G2Affine,
     )
 
     # -- assembly --------------------------------------------------------------
-    G1, G2 = engine.G1, engine.G2
-
-    def pull(ops, res, cls):
-        if res is None:
-            return cls.identity()
-        return curve.jacobian_to_host(ops, res, cls)[0]
-
-    h_pt = pull(ops1, h_res, bls.G1Affine)
-    l_pt = pull(ops1, l_res, bls.G1Affine)
-    a_answer = pull(ops1, a_in_res, bls.G1Affine) + pull(ops1, a_aux_res, bls.G1Affine)
-    b1_answer = pull(ops1, b1_in_res, bls.G1Affine) + pull(ops1, b1_aux_res, bls.G1Affine)
-    b2_answer = pull(ops2, b2_in_res, bls.G2Affine) + pull(ops2, b2_aux_res, bls.G2Affine)
+    a_answer = a_in + a_aux
+    b1_answer = b1_in + b1_aux
+    b2_answer = b2_in + b2_aux
 
     g_a = vk.delta_g1.mul_int(int(r)) + vk.alpha_g1 + a_answer
     g_b = vk.delta_g2.mul_int(int(s)) + vk.beta_g2 + b2_answer

@@ -31,9 +31,10 @@ The h-query CRS bases are pre-sharded in the SAME cyclic order, so the
 h MSM needs no reshard at all.
 
 MSM: points and scalars are sharded along the batch axis; each device
-runs the local Pippenger window pipeline (ops.msm) and partial window
-sums are combined with an all_gather + fold (point addition is not a
-psum-able monoid over limb vectors, but T partial points are tiny).
+runs the full local v3 tree-fold pipeline (ops.msm3) and the tiny
+per-device (window, bit) totals are gathered and folded host-side
+(point addition is not a psum-able monoid over limb vectors, and T
+points per window are not worth a device collective).
 """
 
 from __future__ import annotations
@@ -46,7 +47,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..ops import curve, fft, limbs, msm
+from ..ops import curve, fft, limbs
 from ..ops.limbs import FieldSpec
 
 
@@ -300,42 +301,46 @@ class ShardedDomainPlan:
 
 
 # ---------------------------------------------------------------------------
-# Sharded MSM
+# Sharded MSM (v3 pipeline, data-parallel SPMD)
 # ---------------------------------------------------------------------------
 
 
-@functools.lru_cache(maxsize=None)
-def _sharded_window_fn(ops: curve.CurveOps, c: int, mesh: Mesh):
-    """Per-window bucket pipeline, sharded: local window sums (the
-    single-chip kernel from ops.msm), then an all_gather of the T
-    partial points + a local fold (replicated output)."""
+def sharded_msm(ops: curve.CurveOps, packed, inf_mask, scalar_limbs,
+                mesh: Mesh, point_cls, c: int = 16, mode: str | None = None):
+    """MSM over mesh-sharded points/scalars via the v3 tree-fold
+    pipeline (ops/msm3.py), returning the host affine total.
 
-    def body(packed_points, digits):
-        partial = msm._window_sum_body(ops, c, packed_points, digits)
-        allp = jax.lax.all_gather(partial, AXIS, axis=1, tiled=True)  # (3C, T)
-        total = ops.tree_reduce(msm._unpack(ops, allp))
-        return msm._pack(ops, total)
+    Layout is the per-host SPMD layout of a pod deployment: each device
+    runs the FULL local pipeline on its shard — signed-digit sort,
+    occupancy-grouped gather-once tree folds, bit-weighted window
+    totals — exactly the window-parallel Pippenger of
+    /root/reference/src/multiexp.rs:288-293 with the reference's rayon
+    pool replaced by async XLA dispatch per device. All T local
+    pipelines are dispatched before any result is awaited (the
+    Waiter-future overlap of multicore.rs:33-76). The per-device
+    (window, bit) totals U are tiny (rows_jac x c x 128), so the
+    combine gathers them and finishes host-side with the same
+    Horner + MSB->LSB window fold as the single-chip path — Jacobian
+    addition over limb vectors is not a psum-able monoid, and T points
+    per window are not worth a device collective.
 
-    fn = shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(P(None, AXIS), P(AXIS)),
-        out_specs=P(None, None),
-        check_vma=False,
-    )
-    return jax.jit(fn)
+    packed: (Cp, n) packed affine bases sharded P(None, AXIS);
+    inf_mask: (n,) sharded P(AXIS); scalar_limbs: (L, n) plain-form
+    limbs sharded P(None, AXIS). The MSM is order-invariant, so shard
+    order never matters.
+    """
+    from ..ops import msm2, msm3
 
-
-def sharded_msm(ops: curve.CurveOps, packed_points, scalar_limbs, mesh: Mesh,
-                c: int = 16):
-    """MSM over sharded points/scalars. packed_points: (3C, n) sharded on
-    axis -1; scalar_limbs: (L, n) plain form (sharded or replicated).
-    Returns a replicated Jacobian point (batch (1,))."""
-    nw = -(-(scalar_limbs.shape[0] * 16) // c)
-    wfn = _sharded_window_fn(ops, c, mesh)
-    fold = msm._fold_fn(ops, c)
-    acc = None
-    for w in reversed(range(nw)):
-        total = wfn(packed_points, msm.digits_fn(scalar_limbs, w, c))
-        acc = total if acc is None else fold(acc, total)
-    return msm._unpack(ops, acc)
+    pshards = {s.device: s.data for s in packed.addressable_shards}
+    ishards = {s.device: s.data for s in inf_mask.addressable_shards}
+    sshards = {s.device: s.data for s in scalar_limbs.addressable_shards}
+    pending = []
+    for dev, pk in pshards.items():
+        bases = msm2.PackedBases(None, None, _packed=pk, _inf=ishards[dev])
+        pending.append(
+            msm3.msm3_start(ops, bases, sshards[dev], c=c, mode=mode)
+        )
+    total = point_cls.identity()
+    for p in pending:
+        total = total + msm3.msm3_finish(ops, p, point_cls)
+    return total

@@ -21,7 +21,7 @@ Field-multiply cost is derived from the limb spec (ops/limbs.py):
     (every u32 product is split lo/hi before accumulating)
 
 Point-formula costs count field muls/adds from ops/curve.py and the
-kernel twins in ops/pallas_scan.py:
+kernel twins in ops/kernel_ops.py:
   full Jacobian add (add-2007-bl + masked dbl path): 13M + 10S + ~28A
   mixed add from affine prep (madd-2007-bl class):    8M +  6S + ~18A
 """

@@ -1,28 +1,36 @@
-"""Benchmark harness. Prints ONE JSON line:
+"""Benchmark harness. Prints ONE JSON result line per completed stage:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+(the last line printed is the largest completed size — the headline).
 
-Headline metric: single-chip G1 Pippenger MSM throughput (points/s) at
-2^SIZE points — the prover's dominant kernel (the reference benches the
-same kernel: /root/reference/benches/slow.rs at 2^16; BASELINE.json asks
-for 2^20+). Kernel: ops/msm3.py tree-fold pipeline (signed windows,
-occupancy-grouped gathers, log-depth Pallas folds).
+Headline metric: single-chip G1 Pippenger MSM throughput (points/s) —
+the prover's dominant kernel (the reference benches the same kernel:
+/root/reference/benches/slow.rs at 2^16; BASELINE.json asks for 2^20+).
+Kernel: ops/msm3.py tree-fold pipeline (signed windows, occupancy-
+grouped gathers, log-depth Pallas folds).
 
-``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
-denominator is the reference's measured-class CPU throughput for the same
-kernel: bellman's multicore Pippenger at ~1.0e6 points/s for 2^20 G1 MSM
-on a modern many-core CPU (criterion harness class, documented estimate).
+The harness is STAGED (2^16 -> 2^18 -> 2^20 by default) and emits the
+JSON line after EVERY completed stage, so a budget kill still leaves
+the last completed stage on record (round 2 ran one monolithic 2^20
+config and timed out before printing anything — BENCH_r02.json was
+empty). A wall-clock budget (BENCH_BUDGET_S) is checked between stages
+and the process exits 0 with whatever landed.
 
-``roofline_frac``: measured vs the speed-of-light arithmetic bound at the
-chip's honestly-calibrated u32 VPU-op peak (benches/op_probe.py: ~1.55e12
-marginal u32 ops/s on v5e; block_until_ready does not synchronize through
-the axon tunnel, so the calibration uses device_get) — the BASELINE.json
-north star is defined in these units (2^24 >= 70%).
+``vs_baseline``: the reference publishes no numbers (BASELINE.md), and
+this image has no Rust toolchain to measure bellman itself, so the
+denominator is the documented estimate for bellman's multicore CPU
+Pippenger: ~1.0e6 points/s for 2^20 G1 MSM on a modern many-core CPU
+(criterion harness class; see PERF.md "CPU baseline provenance").
 
-Extra sub-metrics (FFT throughput, per-phase timings) are printed to
-stderr; the driver consumes only the JSON line.
+``roofline_frac``: measured vs the speed-of-light arithmetic bound at
+the chip's honestly-calibrated u32 VPU-op peak (benches/op_probe.py:
+~1.55e12 marginal u32 ops/s on v5e; block_until_ready does not
+synchronize through the axon tunnel, so timing syncs use the host
+finish / device_get) — the BASELINE.json north star is defined in
+these units (2^24 >= 70%).
 
-Env knobs: BENCH_MSM_LOG2 (default 20), BENCH_MSM_C (default 16),
-BENCH_PEAK_U32_PER_S (default 1.55e12, the v5e calibration).
+Env knobs: BENCH_MSM_STAGES (default "16,18,20"), BENCH_MSM_C (16),
+BENCH_BUDGET_S (450), BENCH_ITERS (3), BENCH_FFT (1),
+BENCH_PEAK_U32_PER_S (1.55e12, the v5e calibration).
 """
 
 import json
@@ -34,138 +42,157 @@ import numpy as np
 
 
 BASELINE_MSM_POINTS_PER_S = 1.0e6  # bellman multicore CPU class (see above)
+T0 = time.time()
 
 
-def msm_roofline_u32_ops(n: int, c: int) -> int:
-    from bellman_tpu.utils import profiling
-
-    return profiling.ops_msm_g1(n, c)
+def elapsed() -> float:
+    return time.time() - T0
 
 
-def fft_roofline_u32_ops(n: int) -> int:
-    from bellman_tpu.utils import profiling
-
-    return profiling.ops_fft(n)
+def log(msg: str) -> None:
+    print(f"[bench +{elapsed():.0f}s] {msg}", file=sys.stderr, flush=True)
 
 
 def main():
-    size_log = int(os.environ.get("BENCH_MSM_LOG2", "20"))
+    stages = [
+        int(s)
+        for s in os.environ.get("BENCH_MSM_STAGES", "16,18,20").split(",")
+        if s.strip()
+    ]
     c = int(os.environ.get("BENCH_MSM_C", "16"))
+    budget = float(os.environ.get("BENCH_BUDGET_S", "450"))
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
     peak = float(os.environ.get("BENCH_PEAK_U32_PER_S", "1.55e12"))
-    n = 1 << size_log
+    do_fft = os.environ.get("BENCH_FFT", "1") not in ("0", "")
+    n_max = 1 << max(stages)
 
     import jax
     import jax.numpy as jnp
     from bellman_tpu.algebra import bls12_381 as bls
     from bellman_tpu.ops import curve, fft, limbs, msm2, msm3
+    from bellman_tpu.utils import profiling
 
     spec = limbs.spec_for("bls_fr")
     spec_fq = limbs.spec_for("bls_fq")
     ops = curve.g1_ops()
     rng = np.random.default_rng(0)
 
-    # synthetic affine points: cheap to build at scale (random multiples of
-    # the generator would cost a host scalar-mult per point), so take a
-    # small pool of distinct points and tile it — bucket/window statistics
-    # and arithmetic cost are scalar-driven, not point-value-driven.
+    # synthetic affine points: cheap to build at scale (random multiples
+    # of the generator would cost a host scalar-mult per point), so take
+    # a small pool of distinct points and tile it — bucket/window
+    # statistics and arithmetic cost are scalar-driven, not
+    # point-value-driven (gather locality caveat documented in PERF.md).
     pool = 64
     g = bls.G1Affine.generator()
     pool_pts = [g.mul_int(int(k) + 1) for k in rng.integers(1, 2**62, pool)]
-    xs = np.asarray(
-        jax.device_get(
-            jnp.asarray(spec_fq.to_mont_host([int(p.x) for p in pool_pts]))
-        )
-    )
-    ys = np.asarray(
-        jax.device_get(
-            jnp.asarray(spec_fq.to_mont_host([int(p.y) for p in pool_pts]))
-        )
-    )
-    reps = n // pool
+    xs = np.asarray(spec_fq.to_mont_host([int(p.x) for p in pool_pts]),
+                    dtype=np.uint32)
+    ys = np.asarray(spec_fq.to_mont_host([int(p.y) for p in pool_pts]),
+                    dtype=np.uint32)
+    reps = n_max // pool
     X = jnp.asarray(np.tile(xs, (1, reps)))
     Y = jnp.asarray(np.tile(ys, (1, reps)))
-    pts = ops.from_affine(X, Y)
+    pts_all = ops.from_affine(X, Y)
 
     # uniform scalars < r: random 16-bit limbs, top limb below r's top
     # limb (a zeroed top limb would skew the digit distribution)
-    scalars_np = np.frombuffer(rng.bytes(n * 32), dtype="<u2").reshape(
-        n, 16
+    scalars_np = np.frombuffer(rng.bytes(n_max * 32), dtype="<u2").reshape(
+        n_max, 16
     ).T.astype(np.uint32)
-    scalars_np[15] = rng.integers(0, int(bls.R >> 240), n, dtype=np.uint32)
-    sl = jnp.asarray(scalars_np)
-
-    nw = msm2.num_windows(16, c)
+    scalars_np[15] = rng.integers(0, int(bls.R >> 240), n_max,
+                                  dtype=np.uint32)
+    sl_all = jnp.asarray(scalars_np)
 
     t0 = time.time()
-    packed = msm2.PackedBases(ops, pts)
-    jax.block_until_ready(packed.packed)
-    pack_s = time.time() - t0
+    packed_all = msm2.PackedBases(ops, pts_all)
+    jax.block_until_ready(packed_all.packed)
+    log(f"packed 2^{max(stages)} bases in {time.time() - t0:.1f}s")
 
-    # warmup (compile)
-    t0 = time.time()
-    r = msm3.msm3(ops, packed, sl, c=c, point_cls=bls.G1Affine)
-    compile_s = time.time() - t0
+    result = None
+    for size_log in sorted(stages):
+        if result is not None and elapsed() > budget * 0.7:
+            log(f"budget: skipping 2^{size_log} (elapsed {elapsed():.0f}s "
+                f"of {budget:.0f}s)")
+            break
+        n = 1 << size_log
+        packed = packed_all.slice(0, n) if n < n_max else packed_all
+        sl = sl_all[:, :n]
 
-    iters = 3
-    t0 = time.time()
-    for _ in range(iters):
+        t0 = time.time()
         r = msm3.msm3(ops, packed, sl, c=c, point_cls=bls.G1Affine)
-    dt = (time.time() - t0) / iters
-    points_per_s = n / dt
-    msm_frac = (msm_roofline_u32_ops(n, c) / peak) / dt
+        first_s = time.time() - t0
 
-    print(
-        f"[bench] G1 MSM 2^{size_log} c={c}: {dt*1e3:.1f} ms/iter "
-        f"({points_per_s/1e6:.3f} M points/s; roofline {msm_frac*100:.2f}%; "
-        f"first-call {compile_s:.1f}s, pack {pack_s:.1f}s)",
-        file=sys.stderr,
-    )
+        # iterate within budget (a stage's warm iteration is cheap next
+        # to its first call; keep at least one)
+        n_it = iters if elapsed() < budget * 0.85 else 1
+        t0 = time.time()
+        for _ in range(n_it):
+            r = msm3.msm3(ops, packed, sl, c=c, point_cls=bls.G1Affine)
+        dt = (time.time() - t0) / n_it
+        points_per_s = n / dt
+        msm_frac = (profiling.ops_msm_g1(n, c) / peak) / dt
+
+        log(
+            f"G1 MSM 2^{size_log} c={c}: {dt*1e3:.1f} ms/iter x{n_it} "
+            f"({points_per_s/1e6:.3f} M points/s; roofline "
+            f"{msm_frac*100:.2f}%; first-call {first_s:.1f}s)"
+        )
+        result = {
+            "metric": f"g1_msm_2e{size_log}_points_per_s",
+            "value": round(points_per_s, 1),
+            "unit": "points/s",
+            "vs_baseline": round(points_per_s / BASELINE_MSM_POINTS_PER_S, 4),
+            "roofline_frac": round(msm_frac, 4),
+            "first_call_s": round(first_s, 1),
+        }
+        print(json.dumps(result), flush=True)
 
     # secondary: Fr FFT throughput (h-pipeline building block)
-    fft_log = min(size_log, 20)
-    m = 1 << fft_log
-    plan = fft.get_plan(spec, bls.Fr, fft_log)
-    a = jnp.asarray(
-        np.frombuffer(rng.bytes(m * 32), dtype="<u2")
-        .reshape(m, 16)
-        .T.astype(np.uint32)
-        * 0
-        + 1
-    )
-    f = jax.jit(plan.fft)
-
-    def run_fft():
-        # block_until_ready does not synchronize through the axon
-        # tunnel; device_get of a checksum slice is the honest sync
-        out = f(a)
-        jax.device_get(jax.tree.leaves(out)[0].ravel()[:4])
-
-    run_fft()
-    t0 = time.time()
-    for _ in range(iters):
-        run_fft()
-    fft_dt = (time.time() - t0) / iters
-    fft_frac = (fft_roofline_u32_ops(m) / peak) / fft_dt
-    print(
-        f"[bench] Fr FFT 2^{fft_log}: {fft_dt*1e3:.1f} ms "
-        f"({m/fft_dt/1e6:.2f} M coeffs/s; roofline {fft_frac*100:.2f}%)",
-        file=sys.stderr,
-    )
-
-    print(
-        json.dumps(
-            {
-                "metric": f"g1_msm_2e{size_log}_points_per_s",
-                "value": round(points_per_s, 1),
-                "unit": "points/s",
-                "vs_baseline": round(
-                    points_per_s / BASELINE_MSM_POINTS_PER_S, 4
-                ),
-                "roofline_frac": round(msm_frac, 4),
-                "fft_roofline_frac": round(fft_frac, 4),
-            }
+    if do_fft and result is not None and elapsed() < budget * 0.9:
+        fft_log = min(max(stages), 20)
+        m = 1 << fft_log
+        plan = fft.get_plan(spec, bls.Fr, fft_log)
+        a = jnp.asarray(
+            np.frombuffer(rng.bytes(m * 32), dtype="<u2")
+            .reshape(m, 16)
+            .T.astype(np.uint32)
+            * 0
+            + 1
         )
-    )
+        f = jax.jit(plan.fft)
+
+        def run_fft():
+            # block_until_ready does not synchronize through the axon
+            # tunnel; device_get of a checksum slice is the honest sync
+            out = f(a)
+            jax.device_get(jax.tree.leaves(out)[0].ravel()[:4])
+
+        t0 = time.time()
+        run_fft()
+        fft_first = time.time() - t0
+        t0 = time.time()
+        for _ in range(iters):
+            run_fft()
+        fft_dt = (time.time() - t0) / iters
+        fft_frac = (profiling.ops_fft(m) / peak) / fft_dt
+        log(
+            f"Fr FFT 2^{fft_log}: {fft_dt*1e3:.1f} ms "
+            f"({m/fft_dt/1e6:.2f} M coeffs/s; roofline {fft_frac*100:.2f}%; "
+            f"first-call {fft_first:.1f}s)"
+        )
+        result["fft_roofline_frac"] = round(fft_frac, 4)
+        print(json.dumps(result), flush=True)
+
+    if result is None:
+        # nothing completed inside the budget — still emit a parseable
+        # record so the round is not an empty file
+        print(json.dumps({
+            "metric": "g1_msm_points_per_s",
+            "value": 0.0,
+            "unit": "points/s",
+            "vs_baseline": 0.0,
+            "error": f"no stage completed in {budget:.0f}s budget",
+        }), flush=True)
 
 
 if __name__ == "__main__":

@@ -11,7 +11,7 @@ import numpy as np
 import pytest
 
 from bellman_tpu.algebra import bls12_381 as bls
-from bellman_tpu.ops import curve, limbs, msm
+from bellman_tpu.ops import curve, limbs, msm2, msm3
 
 
 def rand_g1(rng, n):
@@ -86,13 +86,11 @@ class TestMsm:
         spec = limbs.spec_for("bls_fr")
         dp = curve.g1_to_device(pts)
         sl = jnp.asarray(spec.to_limbs(scalars))
-        got = curve.jacobian_to_host(
-            curve.g1_ops(), msm.msm(curve.g1_ops(), dp, sl, c=c), bls.G1Affine
-        )
+        got = msm3.msm3(curve.g1_ops(), dp, sl, c=c, point_cls=bls.G1Affine)
         want = bls.G1Affine.identity()
         for p, s in zip(pts, scalars):
             want = want + p.mul_int(s)
-        assert got == [want]
+        assert got == want
 
     def test_g2_msm_vs_naive(self):
         rng = random.Random(9)
@@ -102,13 +100,11 @@ class TestMsm:
         spec = limbs.spec_for("bls_fr")
         dp = curve.g2_to_device(pts)
         sl = jnp.asarray(spec.to_limbs(scalars))
-        got = curve.jacobian_to_host(
-            curve.g2_ops(), msm.msm(curve.g2_ops(), dp, sl, c=8), bls.G2Affine
-        )
+        got = msm3.msm3(curve.g2_ops(), dp, sl, c=8, point_cls=bls.G2Affine)
         want = bls.G2Affine.identity()
         for p, s in zip(pts, scalars):
             want = want + p.mul_int(s)
-        assert got == [want]
+        assert got == want
 
     def test_dummy_inner_product(self):
         spec = limbs.FieldSpec("dummy", 64513)
@@ -118,5 +114,5 @@ class TestMsm:
         es = [rng.randrange(64513) for _ in range(n)]
         b = jnp.asarray(spec.to_mont_host(bs))
         e = jnp.asarray(spec.to_mont_host(es))
-        got = spec.from_mont_host(msm.dummy_inner_product(spec, b, e))
+        got = spec.from_mont_host(msm2.dummy_inner_product(spec, b, e))
         assert got == [sum(x * y for x, y in zip(bs, es)) % 64513]

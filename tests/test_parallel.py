@@ -13,7 +13,7 @@ import pytest
 
 from bellman_tpu.algebra.engine import FrD
 from bellman_tpu.algebra import bls12_381 as bls
-from bellman_tpu.ops import curve, fft, limbs, msm
+from bellman_tpu.ops import curve, fft, limbs, msm2
 from bellman_tpu.parallel import sharding
 
 
@@ -99,20 +99,23 @@ def test_sharded_msm_matches_naive():
     spec = limbs.spec_for("bls_fr")
     ops = curve.g1_ops()
 
-    # device points on the CPU mesh
+    # device points on the CPU mesh (v3 packed-affine layout)
     dp = curve.g1_to_device(pts)
-    packed = msm._pack(ops, dp)
+    packed, inf = msm2.pack_points(ops, dp)
     packed = jax.device_put(
         np.asarray(jax.device_get(packed)),
         jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, sharding.AXIS)),
+    )
+    inf = jax.device_put(
+        np.asarray(jax.device_get(inf)),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(sharding.AXIS)),
     )
     sl = jax.device_put(
         spec.to_limbs(scalars),
         jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, sharding.AXIS)),
     )
-    got_jac = sharding.sharded_msm(ops, packed, sl, mesh, c=8)
-    got = curve.jacobian_to_host(ops, got_jac, bls.G1Affine)
+    got = sharding.sharded_msm(ops, packed, inf, sl, mesh, bls.G1Affine, c=8)
     want = bls.G1Affine.identity()
     for p, s in zip(pts, scalars):
         want = want + p.mul_int(s)
-    assert got == [want]
+    assert got == want

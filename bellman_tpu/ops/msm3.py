@@ -56,6 +56,29 @@ def default_fold() -> str:
     return os.environ.get("BELLMAN_TPU_MSM_FOLD", "affine")
 
 
+def default_totals() -> str:
+    """Window-totals pass: 'hier' (two-level digit split, ~2*W0 adds) or
+    'bits' (flat bit-weighted planes, c*W0 adds)."""
+    import os
+
+    return os.environ.get("BELLMAN_TPU_TOTALS", "hier")
+
+
+def _hier_split(c: int) -> tuple[int, int]:
+    """(lo, hi) bit split of the bucket index b-1 = u*2^lo + v."""
+    lo = (c - 1) // 2
+    return lo, (c - 1) - lo
+
+
+def totals_exps(c: int, kind: str) -> tuple[int, ...]:
+    """Per-plane weight exponents of the totals output U: the window
+    total is T_w = sum_j 2^exps[j] * U[:, j, w]."""
+    if kind == "bits":
+        return tuple(range(c))
+    lo, hi = _hier_split(c)
+    return tuple(range(lo + 1)) + tuple(lo + k for k in range(hi))
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def _occ_counts(occ_s, K: int):
     """counts[k] = #lanes with occupancy > 2^k, plus nonzero count."""
@@ -240,18 +263,21 @@ class _PendingCompile:
         return self._exe
 
 
-def _lower_totals(ops: CurveOps, nw: int, half: int, c: int, mode: str):
+def _lower_totals(ops: CurveOps, nw: int, half: int, c: int, mode: str,
+                  kind: str = "bits"):
     RJ = rows_jac(ops)
     W0 = nw * half
-    return _totals_bits.lower(
+    fn = _totals_hier if kind == "hier" else _totals_bits
+    return fn.lower(
         ops, nw, half, c, mode,
         jax.ShapeDtypeStruct((RJ, W0), jnp.uint32),
         jax.ShapeDtypeStruct((W0,), jnp.int32),
     ).compile()
 
 
-def _totals_exec(ops: CurveOps, nw: int, half: int, c: int, mode: str):
-    key = (ops.f.spec.name, type(ops.f).__name__, nw, half, c, mode)
+def _totals_exec(ops: CurveOps, nw: int, half: int, c: int, mode: str,
+                 kind: str = "bits"):
+    key = (ops.f.spec.name, type(ops.f).__name__, nw, half, c, mode, kind)
     with _TOT_EXEC_LOCK:
         exe = _TOT_EXEC.get(key)
         fut = _TOT_EXEC_PENDING.get(key)
@@ -262,17 +288,18 @@ def _totals_exec(ops: CurveOps, nw: int, half: int, c: int, mode: str):
             return fut.result()
         except Exception:
             pass  # transient background-compile failure: retry inline
-    exe = _lower_totals(ops, nw, half, c, mode)
+    exe = _lower_totals(ops, nw, half, c, mode, kind)
     with _TOT_EXEC_LOCK:
         _TOT_EXEC[key] = exe
     return exe
 
 
-def _warm_totals_exec(ops: CurveOps, nw: int, half: int, c: int, mode: str):
+def _warm_totals_exec(ops: CurveOps, nw: int, half: int, c: int, mode: str,
+                      kind: str = "bits"):
     """Kick off the totals-pass compile on a daemon thread."""
     import threading
 
-    key = (ops.f.spec.name, type(ops.f).__name__, nw, half, c, mode)
+    key = (ops.f.spec.name, type(ops.f).__name__, nw, half, c, mode, kind)
     with _TOT_EXEC_LOCK:
         if key in _TOT_EXEC or key in _TOT_EXEC_PENDING:
             return
@@ -281,7 +308,7 @@ def _warm_totals_exec(ops: CurveOps, nw: int, half: int, c: int, mode: str):
 
     def compile_it():
         try:
-            exe = _lower_totals(ops, nw, half, c, mode)
+            exe = _lower_totals(ops, nw, half, c, mode, kind)
         except Exception as e:  # surface via result(); allow inline retry
             with _TOT_EXEC_LOCK:
                 _TOT_EXEC_PENDING.pop(key, None)
@@ -349,12 +376,13 @@ class Msm3Pending:
     pending handles and blocks only at proof assembly (the Waiter-future
     overlap of /root/reference/groth16/src/prover.rs:244-354)."""
 
-    __slots__ = ("U", "nw", "c")
+    __slots__ = ("U", "nw", "c", "exps")
 
-    def __init__(self, U, nw: int, c: int):
+    def __init__(self, U, nw: int, c: int, exps=None):
         self.U = U
         self.nw = nw
         self.c = c
+        self.exps = exps
 
 
 def msm3(ops: CurveOps, points, scalar_limbs, c: int | None = None,
@@ -383,9 +411,10 @@ def msm3_start(ops: CurveOps, points, scalar_limbs, c: int | None = None,
 
 
 def msm3_finish(ops: CurveOps, pending: Msm3Pending, point_cls):
-    """Block on a pending MSM and finish host-side (Horner over bit
+    """Block on a pending MSM and finish host-side (Horner over weight
     planes + MSB->LSB window fold)."""
-    return _finish_host(ops, pending.U, pending.nw, pending.c, point_cls)
+    return _finish_host(ops, pending.U, pending.nw, pending.c, point_cls,
+                        pending.exps)
 
 
 def _msm3_run(ops: CurveOps, points, scalar_limbs, c, mode, finish,
@@ -414,8 +443,12 @@ def _msm3_run(ops: CurveOps, points, scalar_limbs, c, mode, finish,
     C = _C(ops)
     RJ = rows_jac(ops)
 
+    totals_kind = default_totals()
+    if c < 4:  # degenerate digit split; the flat pass is fine there
+        totals_kind = "bits"
+
     if finish == "pending" and mode == "pallas":
-        _warm_totals_exec(ops, nw, half, c, mode)
+        _warm_totals_exec(ops, nw, half, c, mode, totals_kind)
 
     if isinstance(points, PackedBases):
         packed_pts, inf_mask = points.packed, points.inf_mask
@@ -519,21 +552,24 @@ def _msm3_run(ops: CurveOps, points, scalar_limbs, c, mode, finish,
     acc_sorted = jnp.concatenate(parts, axis=1)
 
     if finish == "pending":
-        # bit-weighted totals: T_w = Σ_k 2^k · U_{w,k} with
-        # U_{w,k} = Σ_{b: bit k of b set} S_{w,b} — replaces the
-        # sequential bucket suffix scans with log-depth 3D folds
+        # weighted window totals T_w = Σ_b b · S_{w,b} as log-depth
+        # folds: 'hier' (two-level digit split, default) or 'bits'
+        # (flat bit planes) — both replace sequential bucket suffix
+        # scans; the host Horner consumes the per-plane exponents
+        exps = totals_exps(c, totals_kind)
         if mode == "pallas":
             # cast pins the AOT signature: the lowered executable
             # hard-codes int32, independent of argsort's output dtype
-            U = _totals_exec(ops, nw, half, c, mode)(
+            U = _totals_exec(ops, nw, half, c, mode, totals_kind)(
                 acc_sorted, lane_order.astype(jnp.int32)
             )
         else:
-            U = _totals_bits(ops, nw, half, c, mode, acc_sorted, lane_order)
+            fn = _totals_hier if totals_kind == "hier" else _totals_bits
+            U = fn(ops, nw, half, c, mode, acc_sorted, lane_order)
         if verbose:
             jax.block_until_ready(U)
-            _log("bit-weighted window totals done")
-        return Msm3Pending(U, nw, c)
+            _log(f"window totals done ({totals_kind})")
+        return Msm3Pending(U, nw, c, exps)
 
     tot = _totals(ops, nw, half, mode, acc_sorted, lane_order)
     if verbose:
@@ -612,19 +648,130 @@ def _totals_bits(ops: CurveOps, nw: int, half: int, c: int, mode: str,
     return pallas_fold.window_reduce_jnp(ops, planes, nw)
 
 
-def _finish_host(ops: CurveOps, U, nw: int, c: int, point_cls):
-    """Host Horner over bit planes + MSB->LSB window fold."""
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _totals_hier(ops: CurveOps, nw: int, half: int, c: int, mode: str,
+                 acc_sorted, lane_order):
+    """Hierarchical window totals: two-level digit split of the bucket
+    weight b = u*2^lo + v + 1 (u < 2^hi, v < 2^lo, lo + hi = c - 1):
+
+        T_w = 2^lo * sum_u u * B_{u,w}  +  sum_v (v+1) * C_{v,w}
+        B_u = sum_v S_{u,v}   (fold v: lo unmasked pairwise folds)
+        C_v = sum_u S_{u,v}   (fold u: hi unmasked pairwise folds)
+
+    The flat bit-weighted pass (_totals_bits) masks FIRST and folds
+    c planes of W0 lanes = c*W0/ adds total; here the dense (unmasked)
+    folds shrink the lane count to 2^hi*nw / 2^lo*nw BEFORE any bit
+    plane is built, so the total is ~2*W0 adds + O(c * 2^hi * nw) —
+    ~c/2 x fewer adds and no (c, RJ, W0) broadcast (3.2 GB at c=16 G1).
+    Output: (RJ, c, 128) planes whose weight exponents are
+    totals_exps(c, 'hier'); the host Horner consumes them directly."""
+    C = _C(ops)
+    RJ = rows_jac(ops)
+    W0 = nw * half
+    lo, hi = _hier_split(c)
+
+    # two dense layouts from one permutation source: pairwise folds
+    # remove the TOP bit of the lane index, so the axis to sum over is
+    # placed in the high bits (u for C_v, v for B_u)
+    inv_order = jnp.argsort(lane_order)
+    lb = jnp.arange(W0, dtype=jnp.int32)
+    w = lb % nw
+    t = lb // nw
+    perm_uvw = jnp.take(inv_order, w * half + t)       # t = u*2^lo + v
+    v_ = t >> hi
+    u_ = t & ((1 << hi) - 1)
+    perm_vuw = jnp.take(inv_order, w * half + (u_ * (1 << lo) + v_))
+
+    def vals_c(W):
+        return jnp.arange(W, dtype=jnp.uint32) // nw + 1   # v+1 per lane
+
+    def vals_b(W):
+        return jnp.arange(W, dtype=jnp.uint32) // nw       # u per lane
+
+    if mode == "pallas":
+        d_uvw = jnp.take(acc_sorted, perm_uvw, axis=1)
+        d_vuw = jnp.take(acc_sorted, perm_vuw, axis=1)
+        pair = jnp.stack([d_uvw, d_vuw], axis=0)           # (2, RJ, W0)
+        for _ in range(lo):
+            pair = pallas_fold.pair_fold3(ops, pair)
+        cv, bu = pair[0], pair[1]
+        for _ in range(hi - lo):
+            cv = pallas_fold.pair_fold3(ops, cv[None])[0]
+        # cv: (RJ, 2^lo * nw) = C_{v,w}; bu: (RJ, 2^hi * nw) = B_{u,w}
+
+        def mask_planes(arr, vals, K):
+            W = arr.shape[-1]
+            k = jnp.arange(K, dtype=jnp.uint32)[:, None]
+            bits = ((vals[None, :] >> k) & 1) != 0          # (K, W)
+            xy = jnp.broadcast_to(arr[None, : 2 * C, :], (K, 2 * C, W))
+            z = jnp.where(bits[:, None, :], arr[None, 2 * C :, :], 0)
+            z = jnp.broadcast_to(z, (K, C, W))
+            return jnp.concatenate([xy, z], axis=1)
+
+        planes_c = mask_planes(cv, vals_c(cv.shape[-1]), lo + 1)
+        planes_b = mask_planes(bu, vals_b(bu.shape[-1]), hi)
+        for _ in range(hi - lo):
+            planes_b = pallas_fold.pair_fold3(ops, planes_b)
+        planes = jnp.concatenate([planes_c, planes_b], axis=0)
+        while planes.shape[-1] > 128:
+            planes = pallas_fold.pair_fold3(ops, planes)
+        U = pallas_fold.window_reduce(ops, planes, nw)      # (c, RJ, 128)
+        return jnp.swapaxes(U, 0, 1)                        # (RJ, c, 128)
+
+    # CPU / interpret twin: rows-leading (RJ, K, W) layout
+    d_uvw = jnp.take(acc_sorted, perm_uvw, axis=1)
+    d_vuw = jnp.take(acc_sorted, perm_vuw, axis=1)
+    for _ in range(hi):
+        d_uvw = pallas_fold.pair_fold_jnp(ops, d_uvw)
+    for _ in range(lo):
+        d_vuw = pallas_fold.pair_fold_jnp(ops, d_vuw)
+
+    def mask_planes_jnp(arr, vals, K):
+        W = arr.shape[-1]
+        k = jnp.arange(K, dtype=jnp.uint32)[:, None]
+        bits = ((vals[None, :] >> k) & 1) != 0              # (K, W)
+        xy = jnp.broadcast_to(arr[: 2 * C, None, :], (2 * C, K, W))
+        z = jnp.where(bits[None, :, :], arr[2 * C :, None, :], 0)
+        z = jnp.broadcast_to(z, (C, K, W))
+        return jnp.concatenate([xy, z], axis=0)             # (RJ, K, W)
+
+    planes_c = mask_planes_jnp(d_uvw, vals_c(d_uvw.shape[-1]), lo + 1)
+    planes_b = mask_planes_jnp(d_vuw, vals_b(d_vuw.shape[-1]), hi)
+    for _ in range(hi - lo):
+        planes_b = pallas_fold.pair_fold3_jnp(ops, planes_b)
+    planes = jnp.concatenate([planes_c, planes_b], axis=1)
+    while planes.shape[-1] > 128 and planes.shape[-1] % 2 == 0:
+        planes = pallas_fold.pair_fold3_jnp(ops, planes)
+    if planes.shape[-1] < 128:
+        pad = 128 // planes.shape[-1]
+        reps = [planes] + [jnp.zeros_like(planes) for _ in range(pad - 1)]
+        planes = jnp.concatenate(reps, axis=-1)
+    return pallas_fold.window_reduce_jnp(ops, planes, nw)
+
+
+def _finish_host(ops: CurveOps, U, nw: int, c: int, point_cls,
+                 exps=None):
+    """Host Horner over weight planes + MSB->LSB window fold.
+
+    exps[j] is plane j's weight exponent (T_w = sum_j 2^exps[j] *
+    U[:, j, w]); None means plane j has weight 2^j (the 'bits' pass)."""
     from .curve import jacobian_to_host
 
     C = _C(ops)
     K = U.shape[1]
+    if exps is None:
+        exps = tuple(range(K))
+    by_exp: dict = {}
+    for j, e in enumerate(exps):
+        by_exp.setdefault(e, []).append(j)
     Uw = U[:, :, :nw].reshape(U.shape[0], K * nw)     # (3C, K*nw)
     pts = jacobian_to_host(ops, msm2._unpack1(ops, Uw), point_cls)
     totals = []
     for w in range(nw):
         t = point_cls.identity()
-        for k in reversed(range(K)):
+        for e in reversed(range(max(exps) + 1)):
             t = t.double()
-            t = t + pts[k * nw + w]
+            for j in by_exp.get(e, ()):
+                t = t + pts[j * nw + w]
         totals.append(t)
     return msm2.fold_host(totals, nw, c, point_cls.identity())

@@ -109,10 +109,18 @@ def main():
     log(f"packed 2^{max(stages)} bases in {time.time() - t0:.1f}s")
 
     result = None
+    last_first_s = 0.0
     for size_log in sorted(stages):
         if result is not None and elapsed() > budget * 0.7:
             log(f"budget: skipping 2^{size_log} (elapsed {elapsed():.0f}s "
                 f"of {budget:.0f}s)")
+            break
+        if result is not None and last_first_s > 120:
+            # the previous stage paid a cold Mosaic compile; every larger
+            # stage has its own (bigger) pipeline shapes and will too —
+            # keep the recorded result instead of dying mid-compile
+            log(f"cold cache: skipping 2^{size_log} (last first-call "
+                f"{last_first_s:.0f}s)")
             break
         n = 1 << size_log
         packed = packed_all.slice(0, n) if n < n_max else packed_all
@@ -121,6 +129,7 @@ def main():
         t0 = time.time()
         r = msm3.msm3(ops, packed, sl, c=c, point_cls=bls.G1Affine)
         first_s = time.time() - t0
+        last_first_s = first_s
 
         # iterate within budget (a stage's warm iteration is cheap next
         # to its first call; keep at least one)
@@ -147,8 +156,11 @@ def main():
         }
         print(json.dumps(result), flush=True)
 
-    # secondary: Fr FFT throughput (h-pipeline building block)
-    if do_fft and result is not None and elapsed() < budget * 0.9:
+    # secondary: Fr FFT throughput (h-pipeline building block). Gated
+    # like the stages: if the MSM stages were compiling cold, the FFT
+    # almost surely is too — don't risk the recorded result on it.
+    if (do_fft and result is not None and elapsed() < budget * 0.9
+            and (last_first_s < 120 or elapsed() < budget * 0.5)):
         fft_log = min(max(stages), 20)
         m = 1 << fft_log
         plan = fft.get_plan(spec, bls.Fr, fft_log)

@@ -4,7 +4,15 @@
 
 PY ?= python
 
-.PHONY: test-fast test-slow test-full dryrun gate bench
+.PHONY: smoke test-fast test-slow test-full dryrun gate bench
+
+# smoke tier (seconds–2 min on the 1-core host): import-everything +
+# the golden-value DummyEngine pipeline + constraint-count pins.
+# Run this after EVERY change; it catches collection/import breakage
+# and protocol regressions without any device-kernel compiles.
+smoke:
+	$(PY) -m pytest tests/test_imports.py tests/test_groth16_dummy.py \
+	  tests/test_algebra_host.py -x -q
 
 # fast suite: everything not marked slow (pyproject addopts)
 test-fast:

@@ -131,8 +131,56 @@ class DeviceParameters:
         self.b_g1 = b.upload_g1(params.b_g1)
         self.b_g2 = b.upload_g2(params.b_g2)
 
+    @classmethod
+    def from_device_queries(cls, engine, vk, h, l, a, b_g1, b_g2):
+        """Wrap already-device-resident CRS queries (msm2.PackedBases)
+        without any host point round-trip — the output format of the
+        device-CRS generator (ops.generator.generate_parameters_device_crs)."""
+        self = cls.__new__(cls)
+        self.engine = engine
+        self.backend = get_backend(engine)
+        self.vk = vk
+        self.h = h
+        self.n_h = h.n
+        self.l = l
+        self.a = a
+        self.b_g1 = b_g1
+        self.b_g2 = b_g2
+        return self
+
     def get_vk(self, _num_ic):
         return self.vk
+
+    def to_host_parameters(self):
+        """Pull the device CRS back to host Parameters (for
+        serialization / parity tests; O(n) host conversion)."""
+        from ..groth16.types import Parameters
+
+        e = self.engine
+
+        def pull(q, ops, cls_):
+            C = msm2._C(ops)
+            x, y = msm2._unpack_coords(C, q.packed)
+            one = jnp.broadcast_to(
+                jnp.asarray(ops.f.spec.one_mont), x[: ops.f.spec.L].shape
+            )
+            z = jnp.zeros_like(x)
+            z = z.at[: ops.f.spec.L].set(
+                jnp.where(q.inf_mask[None, :], 0, one)
+            )
+            shape = ops.f.coeff_shape + (q.n,)
+            p = (x.reshape(shape), y.reshape(shape), z.reshape(shape))
+            return curve.jacobian_to_host(ops, p, cls_)
+
+        g1c, g2c = e.G1, e.G2
+        return Parameters(
+            vk=self.vk,
+            h=pull(self.h, curve.g1_ops(), g1c),
+            l=pull(self.l, curve.g1_ops(), g1c),
+            a=pull(self.a, curve.g1_ops(), g1c),
+            b_g1=pull(self.b_g1, curve.g1_ops(), g1c),
+            b_g2=pull(self.b_g2, curve.g2_ops(), g2c),
+        )
 
 
 def _compact(assignment, density):

@@ -305,6 +305,65 @@ class ShardedDomainPlan:
 # ---------------------------------------------------------------------------
 
 
+def _sharded_msm_spmd(ops: curve.CurveOps, packed, inf_mask, scalar_limbs,
+                      mesh: Mesh, point_cls, c: int, mode: str,
+                      n_local: int):
+    """Small-per-shard MSM as ONE SPMD program under shard_map.
+
+    The per-shard host-loop path (below) dispatches onto each device
+    separately; every jit in the pipeline then compiles once PER DEVICE
+    ORDINAL (the executable's device assignment is part of the compile
+    key), which turned the 8-device dryrun into ~8 identical multi-
+    minute XLA compiles (round-4 regression hunt). Here the whole
+    per-shard pipeline — schedule sort, single-group gather/fold,
+    window totals — is traced INSIDE shard_map, so the mesh runs it as
+    one compiled SPMD executable; the tiny per-shard totals U come back
+    replicated-stacked and the host finishes each shard's Horner +
+    window fold and adds T points. Only legal when the shard size fits
+    the shape-stable small-n group (no data-dependent planning)."""
+    from ..ops import msm2, msm3
+    from ..ops.pallas_fold import rows_jac
+
+    L = int(scalar_limbs.shape[0])
+    nw = msm2.num_windows(L, c)
+    half = 1 << (c - 1)
+    W0 = nw * half
+    cap = msm3._pow2ceil(max(2, n_local))
+    fold = ("jacobian" if mode != "pallas"
+            else msm3.default_fold())
+    totals_kind = msm3.default_totals() if c >= 4 else "bits"
+    levels = msm2._width_levels(W0)
+
+    def body(pk, inf, sl):
+        fenc_sorted, starts_s, occ_s, lane_order, _ = msm2._schedule(
+            L, c, nw, half, W0, len(levels), sl, inf
+        )
+        acc = msm3._group_pipeline(
+            ops, cap, W0, mode, fold, jnp.uint32(0), jnp.uint32(W0),
+            starts_s, occ_s, fenc_sorted, pk
+        )[:, :W0]
+        fn = (msm3._totals_hier if totals_kind == "hier"
+              else msm3._totals_bits)
+        U = fn(ops, nw, half, c, mode, acc, lane_order)
+        return U[None]  # (1, RJ, c, 128) -> stacked over shards
+
+    fn = jax.jit(shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(None, AXIS), P(AXIS), P(None, AXIS)),
+        out_specs=P(AXIS),
+        check_vma=False,
+    ))
+    U_all = np.asarray(jax.device_get(fn(packed, inf_mask, scalar_limbs)))
+    exps = msm3.totals_exps(c, totals_kind)
+    total = point_cls.identity()
+    for t in range(U_all.shape[0]):
+        total = total + msm3._finish_host(
+            ops, U_all[t], nw, c, point_cls, exps
+        )
+    return total
+
+
 def sharded_msm(ops: curve.CurveOps, packed, inf_mask, scalar_limbs,
                 mesh: Mesh, point_cls, c: int = 16, mode: str | None = None):
     """MSM over mesh-sharded points/scalars via the v3 tree-fold
@@ -330,6 +389,25 @@ def sharded_msm(ops: curve.CurveOps, packed, inf_mask, scalar_limbs,
     order never matters.
     """
     from ..ops import msm2, msm3
+
+    if mode is None:
+        mode = msm2.default_mode()
+    T = mesh.devices.size
+    n_global = int(scalar_limbs.shape[-1])
+    if n_global % T == 0:
+        n_local = n_global // T
+        L = int(scalar_limbs.shape[0])
+        W0 = msm2.num_windows(L, c) * (1 << (c - 1))
+        import os as _os
+
+        small_slots = int(_os.environ.get(
+            "BELLMAN_TPU_MSM_SMALL_SLOTS", str(1 << 18)
+        ))
+        if msm3._pow2ceil(max(2, n_local)) * W0 <= small_slots:
+            return _sharded_msm_spmd(
+                ops, packed, inf_mask, scalar_limbs, mesh, point_cls,
+                c, mode, n_local
+            )
 
     pshards = {s.device: s.data for s in packed.addressable_shards}
     ishards = {s.device: s.data for s in inf_mask.addressable_shards}

@@ -115,20 +115,29 @@ def main():
             log(f"budget: skipping 2^{size_log} (elapsed {elapsed():.0f}s "
                 f"of {budget:.0f}s)")
             break
-        if result is not None and last_first_s > 120:
-            # the previous stage paid a cold Mosaic compile; every larger
-            # stage has its own (bigger) pipeline shapes and will too —
-            # keep the recorded result instead of dying mid-compile
+        if result is not None and last_first_s > 0.5 * max(
+                0.0, budget - elapsed()):
+            # the previous stage paid a cold compile; every larger stage
+            # has its own (bigger) pipeline shapes and will cost at
+            # least as much — skip only when the remaining budget can't
+            # plausibly cover it (ADVICE r3: a fixed 120s threshold
+            # starved large stages even with most of the budget left)
             log(f"cold cache: skipping 2^{size_log} (last first-call "
-                f"{last_first_s:.0f}s)")
+                f"{last_first_s:.0f}s vs {budget - elapsed():.0f}s left)")
             break
         n = 1 << size_log
         packed = packed_all.slice(0, n) if n < n_max else packed_all
         sl = sl_all[:, :n]
 
-        t0 = time.time()
-        r = msm3.msm3(ops, packed, sl, c=c, point_cls=bls.G1Affine)
-        first_s = time.time() - t0
+        try:
+            t0 = time.time()
+            r = msm3.msm3(ops, packed, sl, c=c, point_cls=bls.G1Affine)
+            first_s = time.time() - t0
+        except Exception as e:  # noqa: BLE001 — flaky tunnel compile
+            # (r3: remote_compile EOF killed the run mid-stage) — keep
+            # whatever already landed instead of dying with it
+            log(f"stage 2^{size_log} FAILED: {type(e).__name__}: {e}")
+            break
         last_first_s = first_s
 
         # iterate within budget (a stage's warm iteration is cheap next
@@ -159,6 +168,33 @@ def main():
     # secondary: Fr FFT throughput (h-pipeline building block). Gated
     # like the stages: if the MSM stages were compiling cold, the FFT
     # almost surely is too — don't risk the recorded result on it.
+    try:
+        _bench_fft(do_fft, result, budget, last_first_s, iters, peak,
+                   stages, spec, rng)
+    except Exception as e:  # noqa: BLE001 — never lose the MSM record
+        log(f"FFT stage FAILED: {type(e).__name__}: {e}")
+
+    if result is None:
+        # nothing completed inside the budget — still emit a parseable
+        # record so the round is not an empty file
+        print(json.dumps({
+            "metric": "g1_msm_points_per_s",
+            "value": 0.0,
+            "unit": "points/s",
+            "vs_baseline": 0.0,
+            "error": f"no stage completed in {budget:.0f}s budget",
+        }), flush=True)
+
+
+def _bench_fft(do_fft, result, budget, last_first_s, iters, peak, stages,
+               spec, rng):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from bellman_tpu.algebra import bls12_381 as bls
+    from bellman_tpu.ops import fft
+    from bellman_tpu.utils import profiling
+
     if (do_fft and result is not None and elapsed() < budget * 0.9
             and (last_first_s < 120 or elapsed() < budget * 0.5)):
         fft_log = min(max(stages), 20)
@@ -194,17 +230,6 @@ def main():
         )
         result["fft_roofline_frac"] = round(fft_frac, 4)
         print(json.dumps(result), flush=True)
-
-    if result is None:
-        # nothing completed inside the budget — still emit a parseable
-        # record so the round is not an empty file
-        print(json.dumps({
-            "metric": "g1_msm_points_per_s",
-            "value": 0.0,
-            "unit": "points/s",
-            "vs_baseline": 0.0,
-            "error": f"no stage completed in {budget:.0f}s budget",
-        }), flush=True)
 
 
 if __name__ == "__main__":

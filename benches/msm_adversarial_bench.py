@@ -89,6 +89,7 @@ def main():
     packed = msm2.PackedBases(ops, ops.from_affine(X, Y))
     jax.block_until_ready(packed.packed)
 
+    mismatches = []
     for dist in args.dists.split(","):
         sl_np = build_scalars(dist, n, np.random.default_rng(11))
         sl = jnp.asarray(sl_np)
@@ -117,6 +118,8 @@ def main():
             if s:
                 want = want + pool_pts[i].mul_int(s)
         ok = (prefix == want)
+        if not ok:
+            mismatches.append(dist)
 
         print(json.dumps({
             "metric": f"g1_msm_2e{args.log2}_{dist}_points_per_s",
@@ -129,6 +132,13 @@ def main():
               f"({n/dt/1e6:.3f} M points/s; first {first_s:.1f}s; "
               f"prefix@{m} {'ok' if ok else 'MISMATCH'})",
               file=sys.stderr, flush=True)
+
+    if mismatches:
+        # scripted consumers must not record throughput from a
+        # wrong-answer pipeline (ADVICE r3)
+        print(f"[adv] FAILED prefix checks: {mismatches}",
+              file=sys.stderr, flush=True)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -34,10 +34,10 @@ def main():
     from bellman_tpu.algebra.engine import Bls12_381Engine as E
     from bellman_tpu.compiled import compile_circuit
     from bellman_tpu.groth16 import prepare_verifying_key, verify_proof
-    from bellman_tpu.ops.generator import generate_random_parameters_on_device
-    from bellman_tpu.ops.prover import (
-        DeviceParameters, create_proof_compiled, get_backend,
+    from bellman_tpu.ops.generator import (
+        generate_random_parameters_device_crs,
     )
+    from bellman_tpu.ops.prover import create_proof_compiled, get_backend
     from bellman_tpu.workloads import MIMC_ROUNDS, WideMiMC, mimc_host, \
         wide_mimc_witness
 
@@ -63,13 +63,15 @@ def main():
           f"({compiled.num_constraints} constraints)", file=sys.stderr)
 
     t0 = time.time()
-    params = generate_random_parameters_on_device(
+    # device-resident CRS end to end: no host point objects at 2^20
+    # (VERDICT r3 missing #2 — the per-point upload loop was hours)
+    dev = generate_random_parameters_device_crs(
         E, WideMiMC(constants, B), rng
     )
     t_setup = time.time() - t0
-    print(f"[prover_bench] setup (device): {t_setup:.1f}s", file=sys.stderr)
-    pvk = prepare_verifying_key(E, params.vk)
-    dev = DeviceParameters(E, params)
+    print(f"[prover_bench] setup (device CRS): {t_setup:.1f}s",
+          file=sys.stderr)
+    pvk = prepare_verifying_key(E, dev.vk)
     backend = get_backend(E)
     spec = backend.fr_spec
 

@@ -6,7 +6,9 @@ import pytest
 
 from bellman_tpu.algebra.engine import Bls12_381Engine
 from bellman_tpu.groth16 import generate_parameters, prepare_verifying_key, verify_proof
-from bellman_tpu.ops.generator import generate_parameters_on_device
+from bellman_tpu.ops.generator import (
+    generate_parameters_device_crs, generate_parameters_on_device,
+)
 from bellman_tpu.ops.prover import DeviceParameters, create_proof_on_device
 from bellman_tpu.r1cs import Circuit, get_value
 
@@ -78,4 +80,36 @@ def test_device_generator_matches_host():
         Fr.random(rng), Fr.random(rng),
     )
     pvk = prepare_verifying_key(E, dev_params.vk)
+    verify_proof(pvk, proof, [v])
+
+
+@pytest.mark.slow
+def test_device_crs_generator_matches_host():
+    """The all-device CRS path (generate_parameters_device_crs — no host
+    point objects at any step) produces a byte-identical Parameters when
+    pulled back, and proves directly from the device queries."""
+    E = Bls12_381Engine
+    Fr = E.Fr
+    rng = random.Random(0xD6)
+    constants = [Fr.random(rng) for _ in range(8)]
+    circuit = SmallMiMC(constants)
+
+    g1 = E.G1.generator().mul_int(rng.randrange(1, Fr.MODULUS))
+    g2 = E.G2.generator().mul_int(rng.randrange(1, Fr.MODULUS))
+    trapdoors = [Fr.random(rng) for _ in range(5)]
+
+    host_params = generate_parameters(E, circuit, g1, g2, *trapdoors)
+    dev = generate_parameters_device_crs(E, circuit, g1, g2, *trapdoors)
+    assert dev.to_host_parameters().to_bytes() == host_params.to_bytes()
+
+    xl, xr = Fr.random(rng), Fr.random(rng)
+    v, w = xl, xr
+    for c in constants:
+        t = (v + c).square() * (v + c) + w
+        w, v = v, t
+    proof = create_proof_on_device(
+        E, SmallMiMC(constants, xl=xl, xr=xr), dev,
+        Fr.random(rng), Fr.random(rng),
+    )
+    pvk = prepare_verifying_key(E, dev.vk)
     verify_proof(pvk, proof, [v])

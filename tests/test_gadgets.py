@@ -74,8 +74,20 @@ def make_boolean(cs, kind, value, name):
 KINDS = ("constant", "is", "not")
 
 
+def raw_bit(kind, value):
+    """Value of the underlying AllocatedBit for an operand of ``kind``
+    holding logical ``value`` (make_boolean allocates ``not value`` for
+    the Not kind)."""
+    return value if kind == "is" else not value
+
+
 class TestBoolean:
     def test_xor_truth_table(self):
+        """All 36 operand-kind/value combinations, asserting the result
+        VARIANT, the allocated "xor result" value, and — for the
+        allocated x allocated cases — that mutating the result breaks
+        exactly the named xor constraint
+        (/root/reference/src/gadgets/boolean.rs:1085-1293)."""
         for ka, kb, va, vb in itertools.product(KINDS, KINDS, (False, True),
                                                 (False, True)):
             cs = new_cs()
@@ -85,7 +97,40 @@ class TestBoolean:
             assert c.get_value() == (va ^ vb)
             assert cs.is_satisfied()
 
+            case = (ka, kb)
+            if ka == "constant" and kb == "constant":
+                assert c.kind == Boolean.CONST, case
+            elif ka == "constant":
+                # xor with const False is b; with const True, b.not_()
+                want = {"is": Boolean.IS, "not": Boolean.NOT}[kb]
+                if va:
+                    want = Boolean.NOT if want == Boolean.IS else Boolean.IS
+                assert c.kind == want, case
+            elif kb == "constant":
+                want = {"is": Boolean.IS, "not": Boolean.NOT}[ka]
+                if vb:
+                    want = Boolean.NOT if want == Boolean.IS else Boolean.IS
+                assert c.kind == want, case
+            else:
+                # allocated x allocated: same kinds -> Is, mixed -> Not,
+                # and one "xor result" var over the RAW bits
+                assert c.kind == (
+                    Boolean.IS if ka == kb else Boolean.NOT
+                ), case
+                raw = raw_bit(ka, va) ^ raw_bit(kb, vb)
+                assert cs.get("xor result") == (
+                    Fr.one() if raw else Fr.zero()
+                ), case
+                # mutation: flip the result variable; exactly the xor
+                # constraint must break
+                cs.set("xor result", Fr.one() - cs.get("xor result"))
+                assert cs.which_is_unsatisfied() == "xor constraint", case
+
     def test_and_truth_table(self):
+        """All 36 combinations for and_, asserting the fused gadget
+        choice (and / and_not / nor), its result variable, and the
+        named constraint under mutation
+        (/root/reference/src/gadgets/boolean.rs:1294-1525)."""
         for ka, kb, va, vb in itertools.product(KINDS, KINDS, (False, True),
                                                 (False, True)):
             cs = new_cs()
@@ -94,6 +139,34 @@ class TestBoolean:
             c = Boolean.and_(cs, a, b)
             assert c.get_value() == (va and vb)
             assert cs.is_satisfied()
+
+            case = (ka, kb, va, vb)
+            if "constant" in (ka, kb):
+                # const False -> Constant(False); const True -> passthrough
+                if (ka == "constant" and not va) or (
+                    kb == "constant" and not vb
+                ):
+                    assert c.kind == Boolean.CONST and not c.const, case
+                elif ka == "constant":
+                    assert c.kind == {"is": Boolean.IS,
+                                      "not": Boolean.NOT,
+                                      "constant": Boolean.CONST}[kb], case
+                else:
+                    assert c.kind == {"is": Boolean.IS,
+                                      "not": Boolean.NOT,
+                                      "constant": Boolean.CONST}[ka], case
+                continue
+            # allocated x allocated: is/is -> and, mixed -> and_not,
+            # not/not -> nor; result is always an Is over a fresh var
+            assert c.kind == Boolean.IS, case
+            name = {("is", "is"): "and",
+                    ("is", "not"): "and not",
+                    ("not", "is"): "and not",
+                    ("not", "not"): "nor"}[(ka, kb)]
+            got = cs.get(f"{name} result")
+            assert got == (Fr.one() if (va and vb) else Fr.zero()), case
+            cs.set(f"{name} result", Fr.one() - got)
+            assert cs.which_is_unsatisfied() == f"{name} constraint", case
 
     def test_ch_maj_truth_tables(self):
         for kinds in itertools.product(KINDS, repeat=3):

@@ -89,6 +89,20 @@ class TestMsm3Jnp:
         )
         assert got == naive(pts, scalars, bls.G1Affine.identity())
 
+    def test_grouped_path(self, fold, monkeypatch):
+        """Force the occupancy-grouped plan (small-n fast path disabled)
+        so the data-dependent group pipeline keeps fast-tier coverage."""
+        monkeypatch.setenv("BELLMAN_TPU_MSM_SMALL_SLOTS", "0")
+        rng = random.Random(40)
+        n = 40
+        pts = rand_g1(rng, n)
+        scalars = [rng.randrange(bls.R) for _ in range(n)]
+        got = run_msm3(
+            curve.g1_ops(), curve.g1_to_device(pts), scalars, 8,
+            bls.G1Affine, fold
+        )
+        assert got == naive(pts, scalars, bls.G1Affine.identity())
+
     def test_g2(self, fold):
         rng = random.Random(11)
         g = bls.G2Affine.generator()

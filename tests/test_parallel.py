@@ -114,8 +114,32 @@ def test_sharded_msm_matches_naive():
         spec.to_limbs(scalars),
         jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, sharding.AXIS)),
     )
-    got = sharding.sharded_msm(ops, packed, inf, sl, mesh, bls.G1Affine, c=8)
+    # c=4 matches the dryrun config (and pre-warms its compile cache
+    # entry); jnp mode has no tile-alignment constraint on W0
+    got = sharding.sharded_msm(ops, packed, inf, sl, mesh, bls.G1Affine, c=4)
     want = bls.G1Affine.identity()
     for p, s in zip(pts, scalars):
         want = want + p.mul_int(s)
     assert got == want
+
+
+def test_distributed_entry_point():
+    """Multi-host initialization path (SURVEY §2.4): single-process is a
+    no-op fast path; the global mesh covers all (virtual) devices; the
+    host-shard helper splits a batch axis by process."""
+    from bellman_tpu.parallel import distributed
+
+    assert distributed.initialize() is False  # no coordinator configured
+    assert distributed.initialize(num_processes=1) is False
+
+    mesh = distributed.global_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    assert mesh.axis_names == (sharding.AXIS,)
+
+    lo, hi = distributed.host_local_shard(1 << 10)
+    assert (lo, hi) == (0, 1 << 10)  # single process owns everything
+
+    d = distributed.describe()
+    assert d["process_count"] == 1
+    assert d["global_devices"] == 8
+    assert d["initialized_multiprocess"] is False

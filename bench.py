@@ -115,7 +115,7 @@ def main():
             log(f"budget: skipping 2^{size_log} (elapsed {elapsed():.0f}s "
                 f"of {budget:.0f}s)")
             break
-        if result is not None and last_first_s > 0.5 * max(
+        if result is not None and last_first_s > 0.8 * max(
                 0.0, budget - elapsed()):
             # the previous stage paid a cold compile; every larger stage
             # has its own (bigger) pipeline shapes and will cost at

@@ -257,6 +257,18 @@ class TestNumGadget:
         n = AllocatedNum.alloc(cs, lambda: Fr.from_int(5))
         n.assert_nonzero(cs)
         assert cs.is_satisfied()
+        # mutation: wrong ephemeral inverse breaks exactly the named
+        # constraint (/root/reference/src/gadgets/num.rs:506-524)
+        cs.set("ephemeral inverse", Fr.from_int(5))
+        assert cs.which_is_unsatisfied() == "nonzero assertion constraint"
+
+        # zero value: the inverse witness cannot exist
+        cs = new_cs()
+        z = AllocatedNum.alloc(cs, lambda: Fr.zero())
+        from bellman_tpu.r1cs import DivisionByZero
+
+        with pytest.raises(DivisionByZero):
+            z.assert_nonzero(cs)
 
         cs = new_cs()
         with cs.namespace("a"):

@@ -220,9 +220,20 @@ def _group_exec(ops, cap, lsub, mode, fold, args):
     with _GROUP_EXEC_LOCK:
         exe = _GROUP_EXEC.get(key)
     if exe is None:
-        exe = _group_pipeline.lower(
-            ops, cap, lsub, mode, fold, *args
-        ).compile()
+        # AOT store first: a committed artifact skips trace+lowering
+        # (the dominant first-call cost on a warm compile cache —
+        # utils/aot.py); fall back to plain lower+compile
+        from ..utils import aot
+
+        if aot.enabled() and mode == "pallas":
+            exe = aot.compiled(
+                "group_pipeline", key[:-1], args, _group_pipeline,
+                static_args=(ops, cap, lsub, mode, fold),
+            )
+        else:
+            exe = _group_pipeline.lower(
+                ops, cap, lsub, mode, fold, *args
+            ).compile()
         with _GROUP_EXEC_LOCK:
             _GROUP_EXEC[key] = exe
     return exe
@@ -268,11 +279,20 @@ def _lower_totals(ops: CurveOps, nw: int, half: int, c: int, mode: str,
     RJ = rows_jac(ops)
     W0 = nw * half
     fn = _totals_hier if kind == "hier" else _totals_bits
-    return fn.lower(
-        ops, nw, half, c, mode,
+    avals = (
         jax.ShapeDtypeStruct((RJ, W0), jnp.uint32),
         jax.ShapeDtypeStruct((W0,), jnp.int32),
-    ).compile()
+    )
+    from ..utils import aot
+
+    if aot.enabled() and mode == "pallas":
+        statics = (ops.f.spec.name, type(ops.f).__name__, nw, half, c,
+                   mode, kind)
+        return aot.compiled(
+            f"totals_{kind}", statics, avals, fn,
+            static_args=(ops, nw, half, c, mode),
+        )
+    return fn.lower(ops, nw, half, c, mode, *avals).compile()
 
 
 def _totals_exec(ops: CurveOps, nw: int, half: int, c: int, mode: str,
@@ -802,6 +822,76 @@ def _totals_hier(ops: CurveOps, nw: int, half: int, c: int, mode: str,
         reps = [planes] + [jnp.zeros_like(planes) for _ in range(pad - 1)]
         planes = jnp.concatenate(reps, axis=-1)
     return pallas_fold.window_reduce_jnp(ops, planes, nw)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _combine_totals(ops: CurveOps, U1, U2):
+    """Plane-wise Jacobian add of two window-totals tensors
+    (RJ, K, nl) — the cross-chunk accumulator of the chunked MSM."""
+    from . import curve as _curve
+
+    RJ, K, nl = U1.shape
+    a = _curve.unpack_jac(ops, U1.reshape(RJ, K * nl))
+    b = _curve.unpack_jac(ops, U2.reshape(RJ, K * nl))
+    return _curve.pack_jac(ops, ops.add(a, b)).reshape(RJ, K, nl)
+
+
+def msm3_start_chunked(ops: CurveOps, points, scalar_limbs,
+                       c: int | None = None, mode: str | None = None,
+                       fold: str | None = None, chunk: int = 1 << 20,
+                       verbose: bool = False) -> Msm3Pending:
+    """MSM over n > chunk bases as a sequence of chunk-sized pipeline
+    dispatches whose window totals accumulate ON DEVICE.
+
+    Bounds the pipeline working set (schedule/fenc/gather arrays are
+    O(chunk), not O(n)) the way the reference streams bases through
+    ``Source::next/skip`` (/root/reference/src/multiexp.rs:26-86) —
+    the 2^24 single-chip path. Every chunk shares (c, nw), so the
+    per-chunk U tensors combine by plane-wise Jacobian addition; equal
+    chunk sizes make the pipeline shapes coincide across chunks (up to
+    occupancy-group quantization), so compiles amortize across chunks.
+
+    ``points``: PackedBases (sliced per chunk, zero-copy views) or a
+    sequence of per-chunk PackedBases for host-streamed uploads."""
+    scalar_limbs = jnp.asarray(scalar_limbs)
+    n = int(scalar_limbs.shape[-1])
+    if c is None:
+        c = msm2.default_c(n)  # window size follows FULL n, not chunk
+    if isinstance(points, PackedBases):
+        assert points.n == n, (points.n, n)
+        parts = [
+            (off, points.slice(off, min(off + chunk, n)))
+            for off in range(0, n, chunk)
+        ]
+    else:
+        parts, off = [], 0
+        for pb in points:
+            parts.append((off, pb))
+            off += pb.n
+        assert off == n, (off, n)
+    pend = None
+    for off, pb in parts:
+        p = msm3_start(ops, pb, scalar_limbs[:, off : off + pb.n], c=c,
+                       mode=mode, fold=fold, verbose=verbose)
+        if pend is None:
+            pend = p
+        else:
+            assert (p.nw, p.c, p.exps) == (pend.nw, pend.c, pend.exps)
+            pend = Msm3Pending(
+                _combine_totals(ops, pend.U, p.U), pend.nw, pend.c,
+                pend.exps,
+            )
+    return pend
+
+
+def msm3_chunked(ops: CurveOps, points, scalar_limbs, point_cls,
+                 c: int | None = None, mode: str | None = None,
+                 fold: str | None = None, chunk: int = 1 << 20,
+                 verbose: bool = False):
+    """Chunked MSM, finished to a host point (see msm3_start_chunked)."""
+    pend = msm3_start_chunked(ops, points, scalar_limbs, c=c, mode=mode,
+                              fold=fold, chunk=chunk, verbose=verbose)
+    return msm3_finish(ops, pend, point_cls)
 
 
 def _finish_host(ops: CurveOps, U, nw: int, c: int, point_cls,

@@ -129,9 +129,22 @@ def main():
         packed = packed_all.slice(0, n) if n < n_max else packed_all
         sl = sl_all[:, :n]
 
+        # stages past the chunk size run the chunked accumulator: each
+        # 2^20 chunk reuses the warm 2^20 pipeline shapes, so 2^22/2^24
+        # pay no new Mosaic compiles (msm3.msm3_start_chunked)
+        chunk_log = int(os.environ.get("BENCH_MSM_CHUNK_LOG", "20"))
+
+        def run_msm():
+            if size_log > chunk_log:
+                return msm3.msm3_chunked(
+                    ops, packed, sl, bls.G1Affine, c=c,
+                    chunk=1 << chunk_log,
+                )
+            return msm3.msm3(ops, packed, sl, c=c, point_cls=bls.G1Affine)
+
         try:
             t0 = time.time()
-            r = msm3.msm3(ops, packed, sl, c=c, point_cls=bls.G1Affine)
+            r = run_msm()
             first_s = time.time() - t0
         except Exception as e:  # noqa: BLE001 — flaky tunnel compile
             # (r3: remote_compile EOF killed the run mid-stage) — keep
@@ -145,7 +158,7 @@ def main():
         n_it = iters if elapsed() < budget * 0.85 else 1
         t0 = time.time()
         for _ in range(n_it):
-            r = msm3.msm3(ops, packed, sl, c=c, point_cls=bls.G1Affine)
+            r = run_msm()
         dt = (time.time() - t0) / n_it
         points_per_s = n / dt
         msm_frac = (profiling.ops_msm_g1(n, c) / peak) / dt
@@ -207,7 +220,17 @@ def _bench_fft(do_fft, result, budget, last_first_s, iters, peak, stages,
             * 0
             + 1
         )
-        f = jax.jit(plan.fft)
+        from bellman_tpu.utils import aot
+
+        if aot.enabled() and jax.default_backend() in ("axon", "tpu"):
+            # committed AOT artifact skips the local trace+lowering of
+            # the 20-stage butterfly pipeline (utils/aot.py)
+            f = aot.compiled(
+                f"fr_fft{fft_log}", (spec.name, fft_log), (a,),
+                jax.jit(plan.fft),
+            )
+        else:
+            f = jax.jit(plan.fft)
 
         def run_fft():
             # block_until_ready does not synchronize through the axon

@@ -180,6 +180,14 @@ class TestBoolean:
                     (vals[0] and vals[1]) ^ ((not vals[0]) and vals[2])
                 )
                 assert cs.is_satisfied()
+                if "constant" not in kinds:
+                    # generic path: mutating the fused result variable
+                    # breaks exactly the named constraint
+                    # (/root/reference/src/gadgets/boolean.rs:753-765)
+                    cs.set("ch", Fr.one() - cs.get("ch"))
+                    assert cs.which_is_unsatisfied() == "ch computation", (
+                        kinds, vals,
+                    )
 
                 cs2 = new_cs()
                 a = make_boolean(cs2, kinds[0], vals[0], "a")
@@ -192,6 +200,11 @@ class TestBoolean:
                     ^ (vals[1] and vals[2])
                 )
                 assert cs2.is_satisfied()
+                if "constant" not in kinds:
+                    cs2.set("maj", Fr.one() - cs2.get("maj"))
+                    assert cs2.which_is_unsatisfied() == (
+                        "maj computation"
+                    ), (kinds, vals)
 
     def test_enforce_equal(self):
         cs = new_cs()

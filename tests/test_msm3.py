@@ -319,3 +319,41 @@ class TestAfoldInterpret:
         M = W // 2
         for l in range(M):
             assert lane_pt(out, l) == lane_pt(prep, l) + lane_pt(prep, l + M), l
+
+
+class TestMsm3Chunked:
+    """Chunked accumulation (msm3_start_chunked): device-streamed 2^24
+    path — totals combine across chunks by plane-wise Jacobian adds."""
+
+    @pytest.mark.parametrize("chunk", [16, 64])
+    def test_vs_unchunked(self, chunk):
+        rng = random.Random(77)
+        n = 100
+        pts = rand_g1(rng, n)
+        scalars = [rng.randrange(bls.R) for _ in range(n)]
+        spec = limbs.spec_for("bls_fr")
+        sl = jnp.asarray(spec.to_limbs(scalars))
+        ops = curve.g1_ops()
+        packed = msm3.PackedBases(ops, curve.g1_to_device(pts))
+        got = msm3.msm3_chunked(
+            ops, packed, sl, bls.G1Affine, c=8, mode="jnp", chunk=chunk
+        )
+        assert got == naive(pts, scalars, bls.G1Affine.identity())
+
+    def test_streamed_parts(self):
+        """Per-chunk PackedBases sequence (host-streamed upload mode)."""
+        rng = random.Random(78)
+        n = 48
+        pts = rand_g1(rng, n)
+        scalars = [rng.randrange(bls.R) for _ in range(n)]
+        spec = limbs.spec_for("bls_fr")
+        sl = jnp.asarray(spec.to_limbs(scalars))
+        ops = curve.g1_ops()
+        parts = [
+            msm3.PackedBases(ops, curve.g1_to_device(pts[off : off + 16]))
+            for off in range(0, n, 16)
+        ]
+        got = msm3.msm3_chunked(
+            ops, parts, sl, bls.G1Affine, c=8, mode="jnp", chunk=16
+        )
+        assert got == naive(pts, scalars, bls.G1Affine.identity())

@@ -97,6 +97,8 @@ class DomainPlan:
         self.zinv = mont1(pow(zg, -1, p))
         self.bitrev = jnp.asarray(bitrev_indices(exp))
         self._fft_jits = {}
+        self._fft_aot = {}
+        self._key = (spec.name, field.__name__, exp)
 
     # -- core transforms (pure functions of (L, n) Montgomery arrays) -------
     def _fft_impl(self, a, inverse: bool, scale: bool):
@@ -153,6 +155,24 @@ class DomainPlan:
                 functools.partial(self._fft_impl, inverse=inverse, scale=scale)
             )
             self._fft_jits[key] = fn
+        # eager TPU calls route through the AOT artifact store: the
+        # 20-stage butterfly trace is minutes of local lowering per
+        # process (utils/aot.py); in-trace callers (h_pipeline_jit,
+        # sharded shard_map bodies) see tracers and inline as before
+        from . import pallas_kernels as pk
+
+        if (pk.enabled() and not isinstance(a, jax.core.Tracer)
+                and tuple(a.shape) == (self.spec.L, self.n)):
+            from ..utils import aot
+
+            if aot.enabled():
+                exe = self._fft_aot.get(key)
+                if exe is None:
+                    exe = aot.compiled(
+                        f"fft{self.exp}", self._key + key, (a,), fn
+                    )
+                    self._fft_aot[key] = exe
+                return exe(a)
         return fn(a)
 
     def ifft(self, a):

@@ -220,17 +220,10 @@ def _bench_fft(do_fft, result, budget, last_first_s, iters, peak, stages,
             * 0
             + 1
         )
-        from bellman_tpu.utils import aot
-
-        if aot.enabled() and jax.default_backend() in ("axon", "tpu"):
-            # committed AOT artifact skips the local trace+lowering of
-            # the 20-stage butterfly pipeline (utils/aot.py)
-            f = aot.compiled(
-                f"fr_fft{fft_log}", (spec.name, fft_log), (a,),
-                jax.jit(plan.fft),
-            )
-        else:
-            f = jax.jit(plan.fft)
+        # eager DomainPlan.fft routes itself through the AOT artifact
+        # store on TPU (utils/aot.py), skipping the 20-stage butterfly
+        # trace on warm starts
+        f = plan.fft
 
         def run_fft():
             # block_until_ready does not synchronize through the axon

@@ -432,7 +432,26 @@ def msm3_start(ops: CurveOps, points, scalar_limbs, c: int | None = None,
                mode: str | None = None, verbose: bool = False,
                fold: str | None = None) -> Msm3Pending:
     """Dispatch the full device pipeline; return without blocking on the
-    result (XLA dispatch is async — only the tiny schedule probe syncs)."""
+    result (XLA dispatch is async — only the tiny schedule probe syncs).
+
+    Sizes past BELLMAN_TPU_MSM_MAX_DIRECT_LOG (default 2^18) chunk
+    transparently (msm3_start_chunked): the n=2^20 _schedule compile
+    (16.8M-element sort + scatter histogram) wedged the remote TPU
+    compile service repeatedly in round 4, so no larger shape is ever
+    compiled on the direct path — every caller (prover backend, bench,
+    sharded shards) inherits the bound."""
+    if mode is None:
+        mode = msm2.default_mode()
+    n = int(scalar_limbs.shape[-1])
+    max_direct = 1 << int(__import__("os").environ.get(
+        "BELLMAN_TPU_MSM_MAX_DIRECT_LOG", "18"
+    ))
+    if mode == "pallas" and n > max_direct:
+        if not isinstance(points, PackedBases):
+            points = PackedBases(ops, points)
+        return msm3_start_chunked(ops, points, scalar_limbs, c=c,
+                                  mode=mode, fold=fold, chunk=max_direct,
+                                  verbose=verbose)
     return _msm3_run(ops, points, scalar_limbs, c, mode, "pending", verbose,
                      fold)
 

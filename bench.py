@@ -28,8 +28,9 @@ synchronize through the axon tunnel, so timing syncs use the host
 finish / device_get) — the BASELINE.json north star is defined in
 these units (2^24 >= 70%).
 
-Env knobs: BENCH_MSM_STAGES (default "16,18,20"), BENCH_MSM_C (16),
-BENCH_BUDGET_S (450), BENCH_ITERS (3), BENCH_FFT (1),
+Env knobs: BENCH_MSM_STAGES (default "16,18,20,22"), BENCH_MSM_C (16),
+BENCH_MSM_CHUNK_LOG (18 — stages above it run the chunked
+accumulator), BENCH_BUDGET_S (450), BENCH_ITERS (3), BENCH_FFT (1),
 BENCH_PEAK_U32_PER_S (1.55e12, the v5e calibration).
 """
 
@@ -56,7 +57,7 @@ def log(msg: str) -> None:
 def main():
     stages = [
         int(s)
-        for s in os.environ.get("BENCH_MSM_STAGES", "16,18,20").split(",")
+        for s in os.environ.get("BENCH_MSM_STAGES", "16,18,20,22").split(",")
         if s.strip()
     ]
     c = int(os.environ.get("BENCH_MSM_C", "16"))
@@ -129,10 +130,15 @@ def main():
         packed = packed_all.slice(0, n) if n < n_max else packed_all
         sl = sl_all[:, :n]
 
-        # stages past the chunk size run the chunked accumulator: each
-        # 2^20 chunk reuses the warm 2^20 pipeline shapes, so 2^22/2^24
-        # pay no new Mosaic compiles (msm3.msm3_start_chunked)
-        chunk_log = int(os.environ.get("BENCH_MSM_CHUNK_LOG", "20"))
+        # stages past the chunk size run the chunked accumulator
+        # (msm3.msm3_start_chunked): each chunk reuses the warm
+        # chunk-sized pipeline shapes, so larger stages pay no new
+        # Mosaic compiles. Default 2^18: the n=2^20 _schedule compile
+        # (16.8M-element sort_key_val + scatter histogram) wedged the
+        # remote compile service twice in round 4 (runs 2 and 3, >25
+        # min each, zero CPU) — no shape beyond n=2^18 is ever
+        # compiled on the direct path.
+        chunk_log = int(os.environ.get("BENCH_MSM_CHUNK_LOG", "18"))
 
         def run_msm():
             if size_log > chunk_log:

@@ -464,7 +464,8 @@ def msm3_finish(ops: CurveOps, pending: Msm3Pending, point_cls):
 
 
 def _msm3_run(ops: CurveOps, points, scalar_limbs, c, mode, finish,
-              verbose: bool = False, fold: str | None = None):
+              verbose: bool = False, fold: str | None = None,
+              _sched=None):
     import time as _time
 
     _t0 = _time.time()
@@ -506,9 +507,17 @@ def _msm3_run(ops: CurveOps, points, scalar_limbs, c, mode, finish,
         packed_pts, inf_mask = msm2.pack_points(ops, points)
 
     levels = msm2._width_levels(W0)
-    fenc_sorted, starts_s, occ_s, lane_order, _probe = msm2._schedule(
-        L, c, nw, half, W0, len(levels), scalar_limbs, inf_mask
-    )
+    counts_dev = None
+    if _sched is not None:
+        # pre-dispatched schedule (msm3_start_chunked phase 1): every
+        # chunk's schedule + occupancy counts are already in flight, so
+        # the device_get below finds them ready instead of serializing
+        # chunk k+1's schedule behind chunk k's fold dispatch
+        fenc_sorted, starts_s, occ_s, lane_order, counts_dev = _sched
+    else:
+        fenc_sorted, starts_s, occ_s, lane_order, _probe = msm2._schedule(
+            L, c, nw, half, W0, len(levels), scalar_limbs, inf_mask
+        )
 
     # Small-n fast path: ONE group covering every lane with
     # cap = pow2ceil(n) — a lane can hold at most n points, so the rank
@@ -544,9 +553,9 @@ def _msm3_run(ops: CurveOps, points, scalar_limbs, c, mode, finish,
                               totals_kind, acc_sorted, lane_order,
                               verbose, _log)
 
-    counts = np.asarray(
-        jax.device_get(_occ_counts(occ_s, MAX_LOG_CAP))
-    )
+    if counts_dev is None:
+        counts_dev = _occ_counts(occ_s, MAX_LOG_CAP)
+    counts = np.asarray(jax.device_get(counts_dev))
     groups = _plan_groups(counts)
     _log(f"schedule done; groups={groups}")
 
@@ -888,10 +897,33 @@ def msm3_start_chunked(ops: CurveOps, points, scalar_limbs,
             parts.append((off, pb))
             off += pb.n
         assert off == n, (off, n)
-    pend = None
+    if mode is None:
+        mode = msm2.default_mode()
+    # phase 1: dispatch EVERY chunk's schedule + occupancy counts before
+    # any fold work. The per-chunk plan needs a blocking device_get of
+    # the counts; issuing all schedules first turns those syncs into
+    # ready-data reads instead of serializing chunk k+1's schedule
+    # behind chunk k's fold dispatch (round 4: 2^22 ran at 0.60x the
+    # 2^20 rate before this, logs/bench_r4_run4.err).
+    L = int(scalar_limbs.shape[0])
+    nw = num_windows(L, c)
+    half = 1 << (c - 1)
+    W0 = nw * half
+    levels = msm2._width_levels(W0)
+    scheds = []
     for off, pb in parts:
-        p = msm3_start(ops, pb, scalar_limbs[:, off : off + pb.n], c=c,
-                       mode=mode, fold=fold, verbose=verbose)
+        sl_k = scalar_limbs[:, off : off + pb.n]
+        fenc, starts, occ, lane_order, _probe = msm2._schedule(
+            L, c, nw, half, W0, len(levels), sl_k, pb.inf_mask
+        )
+        scheds.append((sl_k, pb, (fenc, starts, occ, lane_order,
+                                  _occ_counts(occ, MAX_LOG_CAP))))
+
+    # phase 2: plan + dispatch folds/totals per chunk, combining totals
+    pend = None
+    for sl_k, pb, sched in scheds:
+        p = _msm3_run(ops, pb, sl_k, c, mode, "pending", verbose, fold,
+                      _sched=sched)
         if pend is None:
             pend = p
         else:

@@ -899,39 +899,44 @@ def msm3_start_chunked(ops: CurveOps, points, scalar_limbs,
         assert off == n, (off, n)
     if mode is None:
         mode = msm2.default_mode()
-    # phase 1: dispatch EVERY chunk's schedule + occupancy counts before
-    # any fold work. The per-chunk plan needs a blocking device_get of
-    # the counts; issuing all schedules first turns those syncs into
-    # ready-data reads instead of serializing chunk k+1's schedule
-    # behind chunk k's fold dispatch (round 4: 2^22 ran at 0.60x the
-    # 2^20 rate before this, logs/bench_r4_run4.err).
+    # Chunks run in WAVES: within a wave, every chunk's schedule +
+    # occupancy counts dispatch before any fold work, so the per-chunk
+    # blocking device_get of the counts finds ready data instead of
+    # serializing chunk k+1's schedule behind chunk k's folds (round 4:
+    # 2^22 ran at 0.60x the 2^20 rate fully serialized). The wave size
+    # bounds enqueued-but-unconsumed fold outputs — per chunk the
+    # occupancy-sorted accumulator is (RJ, W0) u32 ≈ 400 MB at c=16,
+    # and a fully-async 16-chunk queue exhausted the 16 GB HBM
+    # (logs/bench_r4_run5.err RESOURCE_EXHAUSTED).
+    wave = int(__import__("os").environ.get(
+        "BELLMAN_TPU_MSM_CHUNK_WAVE", "4"
+    ))
     L = int(scalar_limbs.shape[0])
     nw = num_windows(L, c)
     half = 1 << (c - 1)
     W0 = nw * half
     levels = msm2._width_levels(W0)
-    scheds = []
-    for off, pb in parts:
-        sl_k = scalar_limbs[:, off : off + pb.n]
-        fenc, starts, occ, lane_order, _probe = msm2._schedule(
-            L, c, nw, half, W0, len(levels), sl_k, pb.inf_mask
-        )
-        scheds.append((sl_k, pb, (fenc, starts, occ, lane_order,
-                                  _occ_counts(occ, MAX_LOG_CAP))))
-
-    # phase 2: plan + dispatch folds/totals per chunk, combining totals
     pend = None
-    for sl_k, pb, sched in scheds:
-        p = _msm3_run(ops, pb, sl_k, c, mode, "pending", verbose, fold,
-                      _sched=sched)
-        if pend is None:
-            pend = p
-        else:
-            assert (p.nw, p.c, p.exps) == (pend.nw, pend.c, pend.exps)
-            pend = Msm3Pending(
-                _combine_totals(ops, pend.U, p.U), pend.nw, pend.c,
-                pend.exps,
+    for w0 in range(0, len(parts), wave):
+        scheds = []
+        for off, pb in parts[w0 : w0 + wave]:
+            sl_k = scalar_limbs[:, off : off + pb.n]
+            fenc, starts, occ, lane_order, _probe = msm2._schedule(
+                L, c, nw, half, W0, len(levels), sl_k, pb.inf_mask
             )
+            scheds.append((sl_k, pb, (fenc, starts, occ, lane_order,
+                                      _occ_counts(occ, MAX_LOG_CAP))))
+        for sl_k, pb, sched in scheds:
+            p = _msm3_run(ops, pb, sl_k, c, mode, "pending", verbose,
+                          fold, _sched=sched)
+            if pend is None:
+                pend = p
+            else:
+                assert (p.nw, p.c, p.exps) == (pend.nw, pend.c, pend.exps)
+                pend = Msm3Pending(
+                    _combine_totals(ops, pend.U, p.U), pend.nw, pend.c,
+                    pend.exps,
+                )
     return pend
 
 

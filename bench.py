@@ -162,10 +162,17 @@ def main():
         # iterate within budget (a stage's warm iteration is cheap next
         # to its first call; keep at least one)
         n_it = iters if elapsed() < budget * 0.85 else 1
-        t0 = time.time()
-        for _ in range(n_it):
-            r = run_msm()
-        dt = (time.time() - t0) / n_it
+        try:
+            t0 = time.time()
+            for _ in range(n_it):
+                r = run_msm()
+            dt = (time.time() - t0) / n_it
+        except Exception as e:  # noqa: BLE001 — e.g. HBM OOM on repeats
+            # (r4 run5: 2^22 OOMed on iteration 2 and killed the whole
+            # process, losing the FFT stage) — keep what landed
+            log(f"stage 2^{size_log} iterations FAILED: "
+                f"{type(e).__name__}: {e}")
+            break
         points_per_s = n / dt
         msm_frac = (profiling.ops_msm_g1(n, c) / peak) / dt
 

@@ -55,6 +55,10 @@ def log(msg: str) -> None:
 
 
 def main():
+    # keep chunk waves shallow for the bench ladder: each enqueued chunk
+    # execution holds its ~2.2 GB prep scratch from dispatch time, so a
+    # deep async queue multiplies temp memory (r4 run6/7 OOMs)
+    os.environ.setdefault("BELLMAN_TPU_MSM_CHUNK_WAVE", "2")
     stages = [
         int(s)
         for s in os.environ.get("BENCH_MSM_STAGES", "16,18,20,22").split(",")
@@ -90,11 +94,6 @@ def main():
                     dtype=np.uint32)
     ys = np.asarray(spec_fq.to_mont_host([int(p.y) for p in pool_pts]),
                     dtype=np.uint32)
-    reps = n_max // pool
-    X = jnp.asarray(np.tile(xs, (1, reps)))
-    Y = jnp.asarray(np.tile(ys, (1, reps)))
-    pts_all = ops.from_affine(X, Y)
-
     # uniform scalars < r: random 16-bit limbs, top limb below r's top
     # limb (a zeroed top limb would skew the digit distribution)
     scalars_np = np.frombuffer(rng.bytes(n_max * 32), dtype="<u2").reshape(
@@ -102,12 +101,20 @@ def main():
     ).T.astype(np.uint32)
     scalars_np[15] = rng.integers(0, int(bls.R >> 240), n_max,
                                   dtype=np.uint32)
-    sl_all = jnp.asarray(scalars_np)
 
-    t0 = time.time()
-    packed_all = msm2.PackedBases(ops, pts_all)
-    jax.block_until_ready(packed_all.packed)
-    log(f"packed 2^{max(stages)} bases in {time.time() - t0:.1f}s")
+    def stage_inputs(n):
+        """Per-stage device inputs, packed fresh and freed at stage end.
+
+        Keeping one resident 2^24 input set alive across the ladder
+        crowded the 16 GB HBM — every stage's working buffers then
+        fought a ~12 GB static floor (r4 runs 6/7 OOMs + 40% slower
+        warm iterations). Packing per stage costs seconds."""
+        X = jnp.asarray(np.tile(xs, (1, n // pool)))
+        Y = jnp.asarray(np.tile(ys, (1, n // pool)))
+        packed = msm2.PackedBases(ops, ops.from_affine(X, Y))
+        sl = jnp.asarray(scalars_np[:, :n])
+        jax.device_get(packed.packed[:1, :1])  # honest sync (axon)
+        return packed, sl
 
     result = None
     last_first_s = 0.0
@@ -127,8 +134,9 @@ def main():
                 f"{last_first_s:.0f}s vs {budget - elapsed():.0f}s left)")
             break
         n = 1 << size_log
-        packed = packed_all.slice(0, n) if n < n_max else packed_all
-        sl = sl_all[:, :n]
+        t0 = time.time()
+        packed, sl = stage_inputs(n)
+        log(f"packed 2^{size_log} bases in {time.time() - t0:.1f}s")
 
         # stages past the chunk size run the chunked accumulator
         # (msm3.msm3_start_chunked): each chunk reuses the warm
@@ -190,6 +198,7 @@ def main():
             "first_call_s": round(first_s, 1),
         }
         print(json.dumps(result), flush=True)
+        del packed, sl, r  # free this stage's device buffers
 
     # secondary: Fr FFT throughput (h-pipeline building block). Gated
     # like the stages: if the MSM stages were compiling cold, the FFT

@@ -191,13 +191,30 @@ def _sparse_rows_eval(spec, rows, vec_mont):
         sel = order[pos:end]
         mg = 1 << max(0, len(sel) - 1).bit_length()
         idx = np.zeros((cap, mg), dtype=np.int32)
-        cof = [0] * (cap * mg)
+        # coefficients repeat massively (0/±1 and a few circuit
+        # constants shared across every instance), so limbify each
+        # DISTINCT value once and gather on device — limbifying the
+        # dense cap*mg slot list in Python was ~an hour of interpreter
+        # time at 2^20 (r4: prover_bench setup never finished its
+        # 90-min cap; 6 of these calls at ~4M slots each)
+        cof_id = np.zeros((cap, mg), dtype=np.int32)
+        uniq = {0: 0}
+        vals = [0]
         for j, ri in enumerate(sel):
             for k, (coeff, ci) in enumerate(rows[ri]):
                 idx[k, j] = ci
-                cof[k * mg + j] = int(coeff)
-        cof_mont = limbs.to_mont(
-            spec, jnp.asarray(spec.to_limbs(cof))
+                cv = int(coeff)
+                t = uniq.get(cv)
+                if t is None:
+                    t = len(vals)
+                    uniq[cv] = t
+                    vals.append(cv)
+                cof_id[k, j] = t
+        uniq_mont = limbs.to_mont(
+            spec, jnp.asarray(spec.to_limbs(vals))
+        )                                              # (L, U)
+        cof_mont = jnp.take(
+            uniq_mont, jnp.asarray(cof_id.reshape(-1)), axis=1
         ).reshape(L, cap, mg)
         cof_mont = jnp.moveaxis(cof_mont, 0, 1)  # (cap, L, mg)
         out = r1cs_eval.eval_matrix(

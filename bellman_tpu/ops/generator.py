@@ -284,9 +284,21 @@ def generate_parameters_device_crs(
     field = engine.Fr
     spec = limbs.spec_for("bls_fr")
 
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _t0 = _time.time()
+
+    def _plog(msg):
+        if _os.environ.get("BELLMAN_TPU_SETUP_LOG"):
+            print(f"[device-crs +{_time.time() - _t0:.1f}s] {msg}",
+                  file=_sys.stderr, flush=True)
+
     assembly = KeypairAssembly(field)
     assembly.alloc_input("", lambda: field.one())
     circuit.synthesize(assembly)
+    _plog("synthesis done")
     for i in range(assembly.num_inputs):
         assembly.enforce(
             "", assembly.lc() + Variable.input(i), assembly.lc(),
@@ -310,6 +322,7 @@ def generate_parameters_device_crs(
     tau_mont = mont1(tau)
     powers = fft.geometric_powers(spec, tau_mont, exp)   # (L, n) Montgomery
     lagrange_mont = plan.ifft(powers)
+    _plog("tau powers + lagrange iFFT dispatched")
 
     # -- H query scalars tau^i * z(tau)/delta, i < n-1 (device) --------------
     zt = tau ** n - field.one()
@@ -343,9 +356,11 @@ def generate_parameters_device_crs(
         assembly.at_inputs, assembly.bt_inputs, assembly.ct_inputs,
         gamma_inverse,
     )
+    _plog("input-class QAP evals dispatched")
     u_aux, v_aux, l_s = eval_class(
         assembly.at_aux, assembly.bt_aux, assembly.ct_aux, delta_inverse
     )
+    _plog("aux-class QAP evals dispatched")
 
     u_all = jnp.concatenate([u_in, u_aux], axis=1)
     v_all = jnp.concatenate([v_in, v_aux], axis=1)
@@ -361,6 +376,7 @@ def generate_parameters_device_crs(
 
     a_scal, n_a = compact(u_all, u_nz)
     b_scal, n_b = compact(v_all, v_nz)
+    _plog(f"density sync + compact done (n_a={n_a}, n_b={n_b})")
 
     # -- fixed-base tables + CRS exponentiations (device) --------------------
     bits = spec.L * spec.w
@@ -369,10 +385,13 @@ def generate_parameters_device_crs(
     ops1, ops2 = curve.g1_ops(), curve.g2_ops()
 
     h_q = _pack_query(ops1, t_g1, h_scal, max(n - 1, 0))
+    _plog("h query packed")
     l_q = _pack_query(ops1, t_g1, l_s, l_s.shape[-1])
+    _plog("l query packed")
     a_q = _pack_query(ops1, t_g1, a_scal, n_a)
     b1_q = _pack_query(ops1, t_g1, b_scal, n_b)
     b2_q = _pack_query(ops2, t_g2, b_scal, n_b)
+    _plog("a/b queries packed")
 
     # -- IC + VK (tiny, host) ------------------------------------------------
     ic_ints = spec.from_limbs(ic_s)

@@ -53,7 +53,7 @@ class TestSignedDigits:
 class TestMsm2Jnp:
     """Pure-jnp reference path on CPU (mode='jnp')."""
 
-    @pytest.mark.parametrize("n", [1, 7, 40])
+    @pytest.mark.parametrize("n", [1, 7])
     def test_vs_naive(self, n):
         rng = random.Random(n)
         pts = rand_g1(rng, n)
@@ -70,6 +70,57 @@ class TestMsm2Jnp:
             bls.G1Affine,
         )
         assert got == [naive(pts, scalars, bls.G1Affine.identity())]
+
+    @pytest.mark.slow
+    def test_vs_naive_large_subprocess(self):
+        """n=40 in a FRESH interpreter: compiling this program as the
+        third big MSM compile in one process segfaults XLA:CPU on this
+        host (deterministic, cache-independent — r4 forensics,
+        logs/msm2_class.out); the identical program compiles and
+        passes in isolation, so the coverage runs in a subprocess."""
+        import subprocess
+        import sys
+
+        code = (
+            "import jax\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"
+            "from bellman_tpu.utils import cpu_cache\n"
+            "cpu_cache.enable()\n"
+            "import random, jax.numpy as jnp\n"
+            "from bellman_tpu.algebra import bls12_381 as bls\n"
+            "from bellman_tpu.ops import curve, limbs, msm2\n"
+            "from test_msm2 import rand_g1, naive\n"
+            "n = 40\n"
+            "rng = random.Random(n)\n"
+            "pts = rand_g1(rng, n)\n"
+            "scalars = [rng.randrange(bls.R) for _ in range(n)]\n"
+            "scalars[1] = 0\n"
+            "scalars[2] = 1\n"
+            "spec = limbs.spec_for('bls_fr')\n"
+            "sl = jnp.asarray(spec.to_limbs(scalars))\n"
+            "got = curve.jacobian_to_host(\n"
+            "    curve.g1_ops(),\n"
+            "    msm2.msm2(curve.g1_ops(), curve.g1_to_device(pts), sl,\n"
+            "              c=8, mode='jnp'),\n"
+            "    bls.G1Affine,\n"
+            ")\n"
+            "assert got == [naive(pts, scalars, bls.G1Affine.identity())]\n"
+            "print('MSM2-N40-OK')\n"
+        )
+        import os
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        env["PYTHONPATH"] = repo + (
+            ":" + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+        )
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            cwd=os.path.dirname(__file__),
+            env=env, capture_output=True, text=True, timeout=1800,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "MSM2-N40-OK" in r.stdout
 
     def test_duplicates_and_identity(self):
         """Duplicate points in one bucket hit the in-round doubling path;

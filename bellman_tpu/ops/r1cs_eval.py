@@ -32,10 +32,18 @@ def eval_matrix(spec: FieldSpec, K: int, idx, coeff_mont, witness_mont):
     m = idx.shape[-1]
     F = 1
     while K // F > 64:
-        F *= 2  # K is a power-of-2 cohort cap whenever it exceeds 64
-    K2 = K // F
-    if F > 1:
-        assert K2 * F == K, (K, F)
+        F *= 2
+    K2 = -(-K // F)  # ceil: K is arbitrary (max LC term count), not
+    if F > 1:        # necessarily divisible by F — pad with zero-coeff
+        pad = K2 * F - K  # rows (they gather index 0 and contribute 0)
+        if pad:
+            idx = jnp.concatenate(
+                [idx, jnp.zeros((pad, m), idx.dtype)], axis=0
+            )
+            coeff_mont = jnp.concatenate(
+                [coeff_mont, jnp.zeros((pad, L, m), coeff_mont.dtype)],
+                axis=0,
+            )
         idx = idx.reshape(K2, F * m)
         coeff_mont = coeff_mont.reshape(K2, F, L, m).transpose(
             0, 2, 1, 3

@@ -38,6 +38,7 @@ import json
 import os
 import sys
 import time
+import traceback
 
 import numpy as np
 
@@ -162,8 +163,14 @@ def main():
             first_s = time.time() - t0
         except Exception as e:  # noqa: BLE001 — flaky tunnel compile
             # (r3: remote_compile EOF killed the run mid-stage) — keep
-            # whatever already landed instead of dying with it
-            log(f"stage 2^{size_log} FAILED: {type(e).__name__}: {e}")
+            # whatever already landed instead of dying with it; the
+            # full traceback + a tag on the record distinguish a real
+            # regression from a budget/tunnel casualty (ADVICE r4)
+            log(f"stage 2^{size_log} FAILED: {type(e).__name__}: {e}\n"
+                + traceback.format_exc())
+            if result is not None:
+                result["failed_stage"] = f"2^{size_log}: {type(e).__name__}"
+                print(json.dumps(result), flush=True)
             break
         last_first_s = first_s
 
@@ -179,7 +186,12 @@ def main():
             # (r4 run5: 2^22 OOMed on iteration 2 and killed the whole
             # process, losing the FFT stage) — keep what landed
             log(f"stage 2^{size_log} iterations FAILED: "
-                f"{type(e).__name__}: {e}")
+                f"{type(e).__name__}: {e}\n" + traceback.format_exc())
+            if result is not None:
+                result["failed_stage"] = (
+                    f"2^{size_log} iters: {type(e).__name__}"
+                )
+                print(json.dumps(result), flush=True)
             break
         points_per_s = n / dt
         msm_frac = (profiling.ops_msm_g1(n, c) / peak) / dt
@@ -207,7 +219,8 @@ def main():
         _bench_fft(do_fft, result, budget, last_first_s, iters, peak,
                    stages, spec, rng)
     except Exception as e:  # noqa: BLE001 — never lose the MSM record
-        log(f"FFT stage FAILED: {type(e).__name__}: {e}")
+        log(f"FFT stage FAILED: {type(e).__name__}: {e}\n"
+            + traceback.format_exc())
 
     if result is None:
         # nothing completed inside the budget — still emit a parseable

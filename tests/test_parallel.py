@@ -141,5 +141,7 @@ def test_distributed_entry_point():
 
     d = distributed.describe()
     assert d["process_count"] == 1
-    assert d["global_devices"] == 8
+    # mesh-size assertion above pins the real invariant; don't couple
+    # to the conftest's 8-virtual-device XLA_FLAGS (ADVICE r4)
+    assert d["global_devices"] == len(jax.devices())
     assert d["initialized_multiprocess"] is False

@@ -36,3 +36,11 @@ gate: test-fast dryrun
 
 bench:
 	$(PY) bench.py
+
+# driver-fidelity check: clone the COMMITTED tree to a temp dir and run
+# the bench exactly as the driver does (fresh clone, default budget).
+# Uncommitted work is invisible here by design.
+freshcheck:
+	rm -rf /tmp/bellman_freshcheck
+	git clone -q . /tmp/bellman_freshcheck
+	cd /tmp/bellman_freshcheck && $(PY) bench.py

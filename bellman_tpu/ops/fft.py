@@ -98,7 +98,23 @@ class DomainPlan:
         self.bitrev = jnp.asarray(bitrev_indices(exp))
         self._fft_jits = {}
         self._fft_aot = {}
+        self._fused_tables = {}
+        self._omega_inv_int = omega_inv
         self._key = (spec.name, field.__name__, exp)
+
+    def fused_tables(self, inverse: bool):
+        """Per-stage twiddle tables for the fused FFT kernels (built
+        once per plan — see pallas_fft.stage_tables)."""
+        t = self._fused_tables.get(inverse)
+        if t is None:
+            from . import pallas_fft
+
+            t = pallas_fft.stage_tables(
+                self.spec, self.exp,
+                self._omega_inv_int if inverse else self.omega_int,
+            )
+            self._fused_tables[inverse] = t
+        return t
 
     # -- core transforms (pure functions of (L, n) Montgomery arrays) -------
     def _fft_impl(self, a, inverse: bool, scale: bool):
@@ -113,6 +129,18 @@ class DomainPlan:
 
         a = jnp.take(a, self.bitrev, axis=-1)
         tw = self.inv_twiddles if inverse else self.twiddles
+
+        # fused multi-stage kernels: the whole ladder in 2-4 VMEM passes
+        # instead of one pass per stage (ops/pallas_fft.py)
+        if use_pallas and n >= (1 << 8):
+            from . import pallas_fft
+
+            a = pallas_fft.fused_fft(
+                spec, log_n, tw, a, tables=self.fused_tables(inverse)
+            )
+            if inverse and scale:
+                a = self._mul_hot(a, self.minv)
+            return a
         for s in range(log_n):
             m = 1 << s
             stride = n // (2 * m)

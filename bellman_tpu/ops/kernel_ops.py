@@ -5,8 +5,7 @@ with EXPLICIT modulus/one operands: Pallas kernels cannot capture large
 array constants, so the modulus and Montgomery one ride in as refs and
 these classes thread them through every op. Shared by the fold
 (ops/pallas_fold.py, ops/pallas_afold.py), batch-affine
-(ops/pallas_affine.py), and masked mixed-add (ops/pallas_madd.py)
-kernel families.
+(ops/pallas_affine.py) kernel families.
 
 The reference gets its in-kernel field arithmetic from the `ff` crate's
 generated code (/root/reference/Cargo.toml:26); here the kernel ISA is

@@ -1,30 +1,26 @@
-"""TPU-native Pippenger MSM, round-scheduled (v2 of ops/msm.py).
+"""Shared MSM machinery: digits, packing, schedule, window fold.
 
-Re-designs the reference's bucket method
-(/root/reference/src/multiexp.rs:210-301) around what this chip is
-actually good and bad at (measured, PERF.md):
+The components every Pippenger variant needs, re-designed for the TPU
+from the reference's bucket method
+(/root/reference/src/multiexp.rs:210-301):
 
-* data-dependent scatter is impossible and XLA gathers are slow, so the
-  gathered volume is minimized: points are packed two 16-bit limbs per
-  uint32 lane and each point is gathered once per window;
-* sequential narrow work is poison, so bucket accumulation runs as
-  full-width vector rounds: lane = (window, bucket), and round r adds
-  the r-th point of every bucket simultaneously via the Pallas masked
-  mixed-add kernel (ops/pallas_madd.py) — all windows in one launch
-  (the window-parallelism of multiexp.rs:288-293 as a lane dimension);
-* signed 16-bit digits halve the bucket count (the wNAF idea of
-  group::Wnaf, /root/reference/groth16/src/generator.rs:209-226): digits
-  in [-2^15, 2^15], negative digits negate y in-kernel;
-* lanes are processed in occupancy-descending order so the active lane
-  set is always a prefix — rounds shrink to quantized widths and total
-  work stays O(sum of bucket occupancies) = O(n) per window even for
-  skewed digit distributions.
+* signed c-bit digits halve the bucket count (the wNAF idea of
+  group::Wnaf, /root/reference/groth16/src/generator.rs:209-226):
+  digits in [-2^(c-1), 2^(c-1)], negative digits negate y at gather;
+* points are packed two 16-bit limbs per uint32 lane (PackedBases),
+  halving every downstream gather's volume;
+* the schedule: one global (window|digit) key sort + histogram gives
+  per-(window, bucket) contiguous point-index segments in
+  occupancy-descending lane order — data-dependent scatter (hostile to
+  a vector machine) becomes contiguous gathers for the tree-fold
+  pipeline (ops/msm3.py, the accumulation engine);
+* window totals combine MSB->LSB with c doublings per step
+  (multiexp.rs:295-300), host-side at width 1 (fold_host).
 
-Pipeline: signed digits -> one global (window|digit) key sort ->
-segment bounds per lane -> occupancy-sorted round schedule (a single
-tiny host sync) -> chunked accumulate rounds under jit -> bucket suffix
-pass ("summation by parts", multiexp.rs:267-277) via the Pallas
-segmented scan -> window fold MSB->LSB (multiexp.rs:295-300).
+(The v2 round-scheduled accumulator that used to live here — one
+masked mixed-add round per bucket rank — was superseded by msm3's
+gather-once occupancy-grouped tree folds and removed; its kernels were
+ops/pallas_madd.py and the affine_round family of ops/pallas_affine.py.)
 """
 
 from __future__ import annotations
@@ -37,13 +33,8 @@ import numpy as np
 
 from . import limbs
 from .curve import CurveOps
-from . import pallas_madd
-from . import pallas_affine
-from .pallas_madd import TILE, rows_acc, rows_add, _pad8
-from .pallas_affine import rows_aff
 
 MASK16 = 0xFFFF
-CHUNK = 32  # accumulate rounds per jit dispatch
 
 
 # ---------------------------------------------------------------------------
@@ -147,17 +138,15 @@ def _unpack_coords(C, packed):
 
 
 # ---------------------------------------------------------------------------
-# Accumulate rounds
+# Schedule: digits -> sorted segments in occupancy-desc lane order
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
-def _schedule(L: int, c: int, nw: int, half: int, W0: int, n_probe: int,
-              scalar_limbs, inf_mask):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _schedule(L: int, c: int, nw: int, half: int, scalar_limbs, inf_mask):
     """Digits -> sort -> lane segment bounds -> occupancy-desc order,
     all in one dispatch. Returns (fenc_sorted, starts_s, occ_s,
-    lane_order, probe) where probe holds occupancy at quantized-width
-    boundaries (the only value the host reads).
+    lane_order, inv_order).
 
     Gather-free by design (gathers/searchsorted run ~30-70M elem/s on
     this chip): the payload rides the sort via lax.sort_key_val, and
@@ -190,63 +179,11 @@ def _schedule(L: int, c: int, nw: int, half: int, W0: int, n_probe: int,
     lane_order = jnp.argsort(-occ.astype(jnp.int32))
     occ_s = jnp.take(occ, lane_order)
     starts_s = jnp.take(starts, lane_order)
-    probe_idx = _width_levels(W0)[:n_probe]
-    probe = jnp.take(occ_s, jnp.asarray([0] + probe_idx[1:], jnp.int32))
-    probe = probe.at[0].set(occ_s[0])
-    return fenc_sorted, starts_s, occ_s, lane_order, probe
-
-
-def _width_levels(W0: int) -> list[int]:
-    """Quantized gather widths: W0, W0/4, W0/16, ... down to TILE."""
-    levels = [W0]
-    k = 2
-    while (W0 >> k) >= TILE:
-        levels.append(W0 >> k)
-        k += 2
-    return levels
-
-
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3), donate_argnums=(9,))
-def _run_seg(ops: CurveOps, width: int, W0: int, mode: str,
-             ptspacked, fenc_sorted, starts_s, occ_s, r0, acc, nrounds):
-    """Up to CHUNK accumulate rounds at one gather width, one dispatch.
-
-    fenc_sorted = per sorted position (point_index << 1) | sign;
-    acc: (RA, W0) Jacobian accumulator rows. Runs rounds
-    [r0, r0+nrounds) (nrounds traced, <= CHUNK)."""
-    C = _C(ops)
-    RD = rows_add(ops)
-
-    rr = r0 + jnp.arange(CHUNK, dtype=jnp.uint32)[:, None]
-    st = starts_s[None, :width]
-    oc = occ_s[None, :width]
-    pos = jnp.where(rr < oc, st + rr, 0).astype(jnp.int32)
-    tab = jnp.take(fenc_sorted, pos.reshape(-1), axis=0).reshape(CHUNK, width)
-
-    def body(t, acc):
-        row = jax.lax.dynamic_slice_in_dim(tab, t, 1, axis=0)[0]
-        rt = r0 + t.astype(jnp.uint32)
-        valid = (rt < occ_s[:width]).astype(jnp.uint32)
-        pt = (row >> 1).astype(jnp.int32)
-        sign = row & 1
-        coords = jnp.take(ptspacked, pt, axis=1)  # (C, width) packed
-        x, y = _unpack_coords(C, coords)
-        aux = jnp.zeros((8, width), jnp.uint32)
-        aux = aux.at[0].set(valid).at[1].set(sign)
-        addend = jnp.concatenate(
-            [x, y, jnp.zeros((_pad8(2 * C) - 2 * C, width), jnp.uint32), aux],
-            axis=0,
-        )
-        if width < W0:
-            full = jnp.zeros((RD, W0), jnp.uint32)
-            addend = jax.lax.dynamic_update_slice(full, addend, (0, 0))
-        if mode == "jnp":
-            return pallas_affine.affine_round_jnp(ops, acc, addend)
-        return pallas_affine.affine_round(
-            ops, acc, addend, mode == "interpret"
-        )
-
-    return jax.lax.fori_loop(0, nrounds, body, acc)
+    # inv_order[lane] = occupancy-sorted position of dense lane
+    # (w*half + b-1): the un-permute map every totals pass needs —
+    # computed here so downstream passes never re-argsort
+    inv_order = jnp.argsort(lane_order)
+    return fenc_sorted, starts_s, occ_s, lane_order, inv_order
 
 
 # ---------------------------------------------------------------------------
@@ -333,7 +270,7 @@ def _fold_windows(ops: CurveOps, nw: int, c: int, tot):
 
 
 # ---------------------------------------------------------------------------
-# Top level
+# Defaults + host window fold
 # ---------------------------------------------------------------------------
 
 
@@ -347,62 +284,6 @@ def default_c(n: int) -> int:
     return 16 if n >= (1 << 18) else 8
 
 
-def _plan_segments(probe: np.ndarray, levels: list[int]) -> list[tuple]:
-    """(r0, nrounds, width) segments from the occupancy probe.
-
-    Width drops exactly when a probe threshold is crossed; each segment
-    runs at most CHUNK rounds so the fenc gather table stays bounded."""
-    occ_max = int(probe[0])
-    segs = []
-    r = 0
-    while r < occ_max:
-        width = levels[0]
-        drop_at = occ_max
-        for i in range(1, len(levels)):
-            if int(probe[i]) <= r:
-                width = levels[i]
-            elif int(probe[i]) < drop_at:
-                drop_at = int(probe[i])  # next point a narrower width opens
-        nr = min(CHUNK, drop_at - r if drop_at > r else CHUNK,
-                 occ_max - r)
-        segs.append((r, nr, width))
-        r += nr
-    return segs
-
-
-def _affine_to_jac(ops: CurveOps, acc):
-    """Affine accumulator rows (lazy [0,2p) coords + nonempty flag) ->
-    canonical packed Jacobian rows (3C, W)."""
-    C = _C(ops)
-    spec = ops.f.spec
-    W = acc.shape[-1]
-    # canonicalize per L-row limb slab (x and y, each C rows)
-    slabs = []
-    for block in range(2 * C // spec.L):
-        slabs.append(
-            limbs._cond_sub_p(spec, acc[block * spec.L:(block + 1) * spec.L])
-        )
-    xy = jnp.concatenate(slabs, axis=0)
-    flag = acc[2 * C]
-    one = jnp.asarray(spec.one_mont)  # (L, 1)
-    z_one = jnp.zeros((C, W), jnp.uint32)
-    # Z = 1 in Montgomery form lives in the first L rows of the coord
-    z_one = z_one.at[:spec.L].set(jnp.broadcast_to(one, (spec.L, W)))
-    z = jnp.where(flag[None] != 0, z_one, jnp.zeros((C, W), jnp.uint32))
-    return jnp.concatenate([xy, z], axis=0)
-
-
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def _bucket_and_tot(ops: CurveOps, nw: int, half: int, acc, lane_order):
-    """Un-permute lanes, run the bucket suffix pass, return window
-    totals (3C, nw). Pallas mode only (CPU path stays in msm2)."""
-    C = _C(ops)
-    jac = _affine_to_jac(ops, acc)
-    inv_order = jnp.argsort(lane_order)
-    acc_dense = jnp.take(jac, inv_order, axis=1)
-    return bucket_totals(ops, acc_dense, nw, half, "pallas")
-
-
 def fold_host(tot_pts, nw: int, c: int, identity):
     """Window fold on the host (240 point doublings are sequential; at
     width 1 the device offers no parallelism and Python bigints win)."""
@@ -412,81 +293,6 @@ def fold_host(tot_pts, nw: int, c: int, identity):
             acc = acc.double()
         acc = acc + tot_pts[w]
     return acc
-
-
-def msm2(ops: CurveOps, points, scalar_limbs, c: int | None = None,
-         mode: str | None = None, point_cls=None, verbose: bool = False):
-    """MSM Σ_i scalars_i · points_i.
-
-    points: Jacobian batch tuple with Z ∈ {0, 1} (affine or identity —
-    what g1_to_device/g2_to_device produce); scalar_limbs: (L, n)
-    plain-form u32 limb array. Returns a Jacobian point batch (1,), or
-    the host affine point if ``point_cls`` is given (the window fold is
-    then done host-side — cheaper than 240 sequential width-1 device
-    doublings).
-    mode: 'pallas' (TPU), 'jnp' (CPU reference), 'interpret' (kernel
-    tests on CPU)."""
-    scalar_limbs = jnp.asarray(scalar_limbs)
-    n = int(scalar_limbs.shape[-1])
-    L = int(scalar_limbs.shape[0])
-    if mode is None:
-        mode = default_mode()
-    if c is None:
-        c = default_c(n)
-    nw = num_windows(L, c)
-    half = 1 << (c - 1)
-    W0 = nw * half
-    assert W0 % TILE == 0, (W0, TILE)
-    C = _C(ops)
-    RA = rows_acc(ops)
-    levels = _width_levels(W0)
-
-    import time as _time
-
-    def _log(msg):
-        if verbose:
-            print(f"[msm2 +{_time.time() - _t0:.1f}s] {msg}", flush=True)
-
-    _t0 = _time.time()
-    if isinstance(points, PackedBases):
-        packed_pts, inf_mask = points.packed, points.inf_mask
-    else:
-        packed_pts, inf_mask = pack_points(ops, points)
-    fenc_sorted, starts_s, occ_s, lane_order, probe_dev = _schedule(
-        L, c, nw, half, W0, len(levels), scalar_limbs, inf_mask
-    )
-    probe = np.asarray(jax.device_get(probe_dev))  # the one host sync
-    _log(f"schedule done, probe={probe.tolist()}")
-
-    acc = jnp.zeros((rows_aff(ops), W0), jnp.uint32)
-    segs = _plan_segments(probe, levels)
-    _log(f"{len(segs)} segments: {segs[:6]}...")
-    for r0, nr, width in segs:
-        acc = _run_seg(ops, width, W0, mode, packed_pts, fenc_sorted,
-                       starts_s, occ_s, jnp.uint32(r0), acc,
-                       jnp.int32(nr))
-    if verbose:
-        jax.block_until_ready(acc)
-        _log("accumulate rounds done")
-
-    if mode == "pallas":
-        tot = _bucket_and_tot(ops, nw, half, acc, lane_order)
-        if verbose:
-            jax.block_until_ready(tot)
-            _log("bucket totals done")
-    else:
-        jac = _affine_to_jac(ops, acc)
-        inv_order = jnp.argsort(lane_order)
-        acc_dense = jnp.take(jac, inv_order, axis=1)
-        tot = bucket_totals(ops, acc_dense, nw, half, mode)
-
-    if point_cls is not None:
-        from .curve import jacobian_to_host
-
-        tot_pts = jacobian_to_host(ops, _unpack1(ops, tot), point_cls)
-        return fold_host(tot_pts, nw, c, point_cls.identity())
-    res = _fold_windows(ops, nw, c, tot)
-    return _unpack1(ops, res)
 
 
 # ---------------------------------------------------------------------------

@@ -1,13 +1,13 @@
-"""TPU-native Pippenger MSM v3: gather-once + occupancy-grouped tree folds.
+"""TPU-native Pippenger MSM: gather-once + occupancy-grouped tree folds.
 
-Profiling msm2 (benches/msm2_*profile.py) showed the accumulate rounds
-dominated by one random point-gather PER ROUND at ~60 M indices/s — the
-round schedule re-gathers nothing twice, but pays per-dispatch overheads
-65 times over. v3 keeps msm2's signed digits and single global
-(window|digit) sort (/root/reference/src/multiexp.rs:318-322 window
-heuristic; signed digits after group::Wnaf,
-/root/reference/groth16/src/generator.rs:209-226) and replaces the
-round-scheduled accumulation entirely:
+Profiling the earlier round-scheduled accumulator (v2, retired) showed
+it dominated by one random point-gather PER ROUND at ~60 M indices/s —
+the round schedule re-gathered nothing twice, but paid per-dispatch
+overheads 65 times over. This pipeline keeps the shared signed digits
+and single global (window|digit) sort of ops/msm2.py
+(/root/reference/src/multiexp.rs:318-322 window heuristic; signed
+digits after group::Wnaf, /root/reference/groth16/src/generator.rs:
+209-226) and replaces round-scheduled accumulation entirely:
 
 1. lanes = (window, |digit|) buckets, occupancy-sorted (descending) as
    in msm2's schedule;
@@ -153,13 +153,15 @@ def limbs_sub_zero(spec, ops, y):
 
 
 def _fold_group(ops: CurveOps, prep, cap: int, mode: str,
-                fold: str = "affine"):
-    """Rank-major prep (RP, cap*lsub) -> per-lane Jacobian (3C, lsub).
+                fold: str = "affine", aff_out: bool = False):
+    """Rank-major prep (RP, cap*lsub) -> per-lane Jacobian (3C, lsub),
+    or per-lane AFFINE rows (RAFF, lsub) with ``aff_out`` (fold='affine'
+    only — the dense-accumulation chunked flow combines chunks in
+    affine form and converts to Jacobian once, at the final totals).
 
     fold='affine': every level is a batch-affine add with a per-block
     shared inversion (the prep layout IS the affine layout, so one
-    kernel serves level 0 and all later levels); the group result is
-    converted to Jacobian once for the totals pass. fold='jacobian':
+    kernel serves level 0 and all later levels). fold='jacobian':
     the mixed-add + full-add Jacobian tree."""
     interp = mode == "interpret"
     lsub = prep.shape[-1] // cap
@@ -171,7 +173,10 @@ def _fold_group(ops: CurveOps, prep, cap: int, mode: str,
         else:
             while x.shape[-1] > lsub:
                 x = pallas_afold.afold(ops, x, interp)
+        if aff_out:
+            return x
         return pallas_afold.aff_to_jac(ops, x, rows_jac(ops))
+    assert not aff_out, "aff_out requires the affine fold family"
     if mode == "jnp":
         x = pallas_fold.level0_fold_jnp(ops, prep)
         while x.shape[-1] > lsub:
@@ -183,9 +188,9 @@ def _fold_group(ops: CurveOps, prep, cap: int, mode: str,
     return x
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
 def _group_pipeline(ops: CurveOps, cap: int, lsub: int, mode: str,
-                    fold: str,
+                    fold: str, aff_out: bool,
                     lane0, lane_hi, starts_s, occ_s, fenc_sorted, packed):
     """Gather + all fold levels for one group chunk as ONE dispatch
     (per-call dispatch latency through the axon tunnel is ~10 ms; a
@@ -194,7 +199,7 @@ def _group_pipeline(ops: CurveOps, cap: int, lsub: int, mode: str,
         ops, cap, lsub, lane0, lane_hi, starts_s, occ_s, fenc_sorted,
         packed
     )
-    return _fold_group(ops, prep, cap, mode, fold)
+    return _fold_group(ops, prep, cap, mode, fold, aff_out)
 
 
 # Compiled-executable cache for _group_pipeline variants. An MSM at a
@@ -208,15 +213,15 @@ _GROUP_EXEC: dict = {}
 _GROUP_EXEC_LOCK = __import__("threading").Lock()
 
 
-def _group_exec_key(ops, cap, lsub, mode, fold, args):
+def _group_exec_key(ops, cap, lsub, mode, fold, aff_out, args):
     return (
         ops.f.spec.name, type(ops.f).__name__, cap, lsub, mode, fold,
-        tuple((tuple(a.shape), str(a.dtype)) for a in args),
+        aff_out, tuple((tuple(a.shape), str(a.dtype)) for a in args),
     )
 
 
-def _group_exec(ops, cap, lsub, mode, fold, args):
-    key = _group_exec_key(ops, cap, lsub, mode, fold, args)
+def _group_exec(ops, cap, lsub, mode, fold, args, aff_out=False):
+    key = _group_exec_key(ops, cap, lsub, mode, fold, aff_out, args)
     with _GROUP_EXEC_LOCK:
         exe = _GROUP_EXEC.get(key)
     if exe is None:
@@ -228,11 +233,11 @@ def _group_exec(ops, cap, lsub, mode, fold, args):
         if aot.enabled() and mode == "pallas":
             exe = aot.compiled(
                 "group_pipeline", key[:-1], args, _group_pipeline,
-                static_args=(ops, cap, lsub, mode, fold),
+                static_args=(ops, cap, lsub, mode, fold, aff_out),
             )
         else:
             exe = _group_pipeline.lower(
-                ops, cap, lsub, mode, fold, *args
+                ops, cap, lsub, mode, fold, aff_out, *args
             ).compile()
         with _GROUP_EXEC_LOCK:
             _GROUP_EXEC[key] = exe
@@ -342,13 +347,13 @@ def _warm_totals_exec(ops: CurveOps, nw: int, half: int, c: int, mode: str,
     threading.Thread(target=compile_it, daemon=True).start()
 
 
-def _warm_group_execs(ops, mode, fold, tasks, log):
+def _warm_group_execs(ops, mode, fold, tasks, log, aff_out=False):
     """Compile all distinct group-pipeline variants concurrently."""
     import concurrent.futures as cf
 
     uniq = {}
     for cap, lsub, args in tasks:
-        key = _group_exec_key(ops, cap, lsub, mode, fold, args)
+        key = _group_exec_key(ops, cap, lsub, mode, fold, aff_out, args)
         if key not in _GROUP_EXEC:
             uniq[key] = (cap, lsub, args)
     if not uniq:
@@ -356,7 +361,8 @@ def _warm_group_execs(ops, mode, fold, tasks, log):
     log(f"compiling {len(uniq)} group pipelines in parallel")
     with cf.ThreadPoolExecutor(max_workers=min(8, len(uniq))) as ex:
         futs = [
-            ex.submit(_group_exec, ops, cap, lsub, mode, fold, args)
+            ex.submit(_group_exec, ops, cap, lsub, mode, fold, args,
+                      aff_out)
             for cap, lsub, args in uniq.values()
         ]
         for f in futs:
@@ -415,7 +421,7 @@ class Msm3Pending:
 def msm3(ops: CurveOps, points, scalar_limbs, c: int | None = None,
          mode: str | None = None, point_cls=None, verbose: bool = False,
          fold: str | None = None):
-    """MSM Σ_i scalars_i · points_i (drop-in for msm2.msm2).
+    """MSM Σ_i scalars_i · points_i.
 
     points: Jacobian batch with Z ∈ {0,1} or PackedBases; scalar_limbs:
     (L, n) plain-form u32 limbs. Returns a Jacobian batch (1,) or, with
@@ -446,7 +452,7 @@ def msm3_start(ops: CurveOps, points, scalar_limbs, c: int | None = None,
     max_direct = 1 << int(__import__("os").environ.get(
         "BELLMAN_TPU_MSM_MAX_DIRECT_LOG", "18"
     ))
-    if mode == "pallas" and n > max_direct:
+    if mode in ("pallas", "jnp") and n > max_direct:
         if not isinstance(points, PackedBases):
             points = PackedBases(ops, points)
         return msm3_start_chunked(ops, points, scalar_limbs, c=c,
@@ -479,6 +485,15 @@ def _msm3_run(ops: CurveOps, points, scalar_limbs, c, mode, finish,
     L = int(scalar_limbs.shape[0])
     if mode is None:
         mode = msm2.default_mode()
+    if mode == "pallas" and n <= int(__import__("os").environ.get(
+            "BELLMAN_TPU_MSM_JNP_SMALL", "64")):
+        # Tiny MSMs (the prover's b_g2/b_g1 INPUT queries are 1-2
+        # points, prover.rs:296-318) run the pure-jnp graph compiled by
+        # plain XLA for the device: at cap=2-64 the Pallas pipelines
+        # add nothing, and the tiny-shape G2 group kernel aborts the
+        # Mosaic compiler ("limits[i] <= dim(i)", r4
+        # logs/prover_bench_20e.err — the 2^20 full-prover blocker)
+        mode = "jnp"
     fold_arg = fold
     if fold is None:
         fold = default_fold()
@@ -506,17 +521,17 @@ def _msm3_run(ops: CurveOps, points, scalar_limbs, c, mode, finish,
     else:
         packed_pts, inf_mask = msm2.pack_points(ops, points)
 
-    levels = msm2._width_levels(W0)
     counts_dev = None
     if _sched is not None:
         # pre-dispatched schedule (msm3_start_chunked phase 1): every
         # chunk's schedule + occupancy counts are already in flight, so
         # the device_get below finds them ready instead of serializing
         # chunk k+1's schedule behind chunk k's fold dispatch
-        fenc_sorted, starts_s, occ_s, lane_order, counts_dev = _sched
+        (fenc_sorted, starts_s, occ_s, lane_order, inv_order,
+         counts_dev) = _sched
     else:
-        fenc_sorted, starts_s, occ_s, lane_order, _probe = msm2._schedule(
-            L, c, nw, half, W0, len(levels), scalar_limbs, inf_mask
+        fenc_sorted, starts_s, occ_s, lane_order, inv_order = (
+            msm2._schedule(L, c, nw, half, scalar_limbs, inf_mask)
         )
 
     # Small-n fast path: ONE group covering every lane with
@@ -546,11 +561,11 @@ def _msm3_run(ops: CurveOps, points, scalar_limbs, c, mode, finish,
             acc_sorted = exe(*args)
         else:
             acc_sorted = _group_pipeline(
-                ops, cap_all, W0, mode, fold, *args
+                ops, cap_all, W0, mode, fold, False, *args
             )
         _log(f"small-n single-group fold done (cap={cap_all})")
         return _finish_totals(ops, nw, half, c, W0, mode, finish,
-                              totals_kind, acc_sorted, lane_order,
+                              totals_kind, acc_sorted, inv_order,
                               verbose, _log)
 
     if counts_dev is None:
@@ -596,10 +611,14 @@ def _msm3_run(ops: CurveOps, points, scalar_limbs, c, mode, finish,
     for lo, hi, kind, payload in plan:
         lg = hi - lo
         if kind == "jnp":
+            # pow2-quantized width: exact-lg shapes made XLA-CPU compile
+            # one pipeline per occupancy-group width PER SHARD on the
+            # virtual mesh; padding costs nothing there
+            lsub = _pow2ceil(lg)
             results.append((lo, hi, _group_pipeline(
-                ops, payload, lg, mode, fold, jnp.uint32(lo),
+                ops, payload, lsub, mode, fold, False, jnp.uint32(lo),
                 jnp.uint32(hi), starts_s, occ_s, fenc_sorted, packed_pts
-            )))
+            )[:, :lg]))
             continue
         if kind == "heavy":
             # per-lane heavy/sparse path
@@ -646,12 +665,12 @@ def _msm3_run(ops: CurveOps, points, scalar_limbs, c, mode, finish,
     acc_sorted = jnp.concatenate(parts, axis=1)
 
     return _finish_totals(ops, nw, half, c, W0, mode, finish, totals_kind,
-                          acc_sorted, lane_order, verbose, _log)
+                          acc_sorted, inv_order, verbose, _log)
 
 
 def _finish_totals(ops: CurveOps, nw: int, half: int, c: int, W0: int,
                    mode: str, finish, totals_kind: str, acc_sorted,
-                   lane_order, verbose, _log):
+                   inv_order, verbose, _log):
     """Shared tail: occupancy-sorted per-lane bucket sums -> window
     totals (pending handle) or the folded Jacobian result."""
     if finish == "pending":
@@ -664,17 +683,17 @@ def _finish_totals(ops: CurveOps, nw: int, half: int, c: int, W0: int,
             # cast pins the AOT signature: the lowered executable
             # hard-codes int32, independent of argsort's output dtype
             U = _totals_exec(ops, nw, half, c, mode, totals_kind)(
-                acc_sorted, lane_order.astype(jnp.int32)
+                acc_sorted, inv_order.astype(jnp.int32)
             )
         else:
             fn = _totals_hier if totals_kind == "hier" else _totals_bits
-            U = fn(ops, nw, half, c, mode, acc_sorted, lane_order)
+            U = fn(ops, nw, half, c, mode, acc_sorted, inv_order)
         if verbose:
             jax.block_until_ready(U)
             _log(f"window totals done ({totals_kind})")
         return Msm3Pending(U, nw, c, exps)
 
-    tot = _totals(ops, nw, half, mode, acc_sorted, lane_order)
+    tot = _totals(ops, nw, half, mode, acc_sorted, inv_order)
     if verbose:
         jax.block_until_ready(tot)
         _log("bucket totals done")
@@ -684,8 +703,7 @@ def _finish_totals(ops: CurveOps, nw: int, half: int, c: int, W0: int,
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def _totals(ops: CurveOps, nw: int, half: int, mode: str,
-            acc_sorted, lane_order):
-    inv_order = jnp.argsort(lane_order)
+            acc_sorted, inv_order):
     acc_dense = jnp.take(acc_sorted, inv_order, axis=1)
     return msm2.bucket_totals(
         ops, acc_dense, nw, half, "pallas" if mode == "pallas" else mode
@@ -694,7 +712,7 @@ def _totals(ops: CurveOps, nw: int, half: int, mode: str,
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
 def _totals_bits(ops: CurveOps, nw: int, half: int, c: int, mode: str,
-                 acc_sorted, lane_order):
+                 acc_sorted, inv_order):
     """Per-(window, bit) masked bucket sums U_{w,k} as (3C, K, 128)
     with window w in lane w of each k plane.
 
@@ -707,7 +725,6 @@ def _totals_bits(ops: CurveOps, nw: int, half: int, c: int, mode: str,
     K = c
 
     # b-major un-permute: dense_b[:, lb] = bucket sum of (w, b)
-    inv_order = jnp.argsort(lane_order)
     lb = jnp.arange(W0, dtype=jnp.int32)
     w = lb % nw
     bm1 = lb // nw
@@ -753,7 +770,7 @@ def _totals_bits(ops: CurveOps, nw: int, half: int, c: int, mode: str,
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
 def _totals_hier(ops: CurveOps, nw: int, half: int, c: int, mode: str,
-                 acc_sorted, lane_order):
+                 acc_sorted, inv_order):
     """Hierarchical window totals: two-level digit split of the bucket
     weight b = u*2^lo + v + 1 (u < 2^hi, v < 2^lo, lo + hi = c - 1):
 
@@ -776,7 +793,6 @@ def _totals_hier(ops: CurveOps, nw: int, half: int, c: int, mode: str,
     # two dense layouts from one permutation source: pairwise folds
     # remove the TOP bit of the lane index, so the axis to sum over is
     # placed in the high bits (u for C_v, v for B_u)
-    inv_order = jnp.argsort(lane_order)
     lb = jnp.arange(W0, dtype=jnp.int32)
     w = lb % nw
     t = lb // nw
@@ -864,20 +880,134 @@ def _combine_totals(ops: CurveOps, U1, U2):
     return _curve.pack_jac(ops, ops.add(a, b)).reshape(RJ, K, nl)
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def _dense_first(ops: CurveOps, acc_sorted_aff, inv_order):
+    """Occupancy-sorted affine lanes -> dense (w*half + b-1) order."""
+    return jnp.take(acc_sorted_aff, inv_order, axis=1)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _dense_combine(ops: CurveOps, interpret: bool, acc_dense,
+                   acc_sorted_aff, inv_order):
+    """acc_dense (RAFF, W0) += chunk lanes (un-permuted), as ONE
+    batch-affine fold level over (RAFF, 2*W0)."""
+    dense = jnp.take(acc_sorted_aff, inv_order, axis=1)
+    both = jnp.concatenate([acc_dense, dense], axis=1)
+    return pallas_afold.afold(ops, both, interpret)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+def _totals_from_dense(ops: CurveOps, nw: int, half: int, c: int,
+                       mode: str, kind: str, dense_aff):
+    """Final window-totals pass over the ACCUMULATED dense affine
+    lanes: one aff->Jacobian conversion + the standard totals pass
+    with an identity un-permute (runs once per MSM, however many
+    chunks fed the accumulator)."""
+    jac = pallas_afold.aff_to_jac(ops, dense_aff, rows_jac(ops))
+    fn = _totals_hier if kind == "hier" else _totals_bits
+    ident = jnp.arange(nw * half, dtype=jnp.int32)
+    return fn(ops, nw, half, c, mode, jac, ident)
+
+
+_DENSE_EXEC: dict = {}
+
+
+def _dense_exec_cached(name, jitfn, static_args, args):
+    """Compiled-executable cache (AOT-store-backed) for the dense-flow
+    jit pieces — fixed shapes, one variant per (curve, config)."""
+    from ..utils import aot
+
+    statics = tuple(
+        (s.f.spec.name, type(s.f).__name__) if isinstance(s, CurveOps)
+        else s
+        for s in static_args
+    )
+    key = (name, statics,
+           tuple((tuple(a.shape), str(a.dtype)) for a in args))
+    exe = _DENSE_EXEC.get(key)
+    if exe is None:
+        if aot.enabled():
+            exe = aot.compiled(name, statics, args, jitfn,
+                               static_args=static_args)
+        else:
+            exe = jitfn.lower(*static_args, *args).compile()
+        _DENSE_EXEC[key] = exe
+    return exe
+
+
+def _chunk_dense_aff(ops: CurveOps, c, nw, half, W0, mode, fold, sched,
+                     pb, groups, _log):
+    """One chunk of the dense-accumulation flow: group folds with
+    AFFINE outputs, assembled in occupancy-sorted order (RAFF, W0).
+
+    Sparse groups are forced through the group path (padding accepted)
+    so every lane lands in the affine array; the caller guarantees no
+    group exceeds the heavy cap."""
+    fenc, starts_s, occ_s, lane_order, inv_order, _counts = sched
+    RAFF = pallas_afold.rows_aff(ops)
+    packed_pts = pb.packed
+    group_tasks = []
+    plan = []
+    for cap, lo, hi in groups:
+        lg = hi - lo
+        lsub = max(TILE, min(_pow2ceil(lg), CHUNK_SLOTS // cap))
+        chunk_tasks = []
+        off = lo
+        while off < hi:
+            args = (jnp.uint32(off), jnp.uint32(hi), starts_s, occ_s,
+                    fenc, packed_pts)
+            chunk_tasks.append((cap, lsub, args))
+            group_tasks.append((cap, lsub, args))
+            off += lsub
+        plan.append((lo, hi, chunk_tasks))
+    _warm_group_execs(ops, mode, fold, group_tasks, _log, aff_out=True)
+
+    results = []
+    for lo, hi, chunk_tasks in plan:
+        lg = hi - lo
+        outs = []
+        for cap, lsub, args in chunk_tasks:
+            exe = _group_exec(ops, cap, lsub, mode, fold, args,
+                              aff_out=True)
+            outs.append(exe(*args))
+        arr = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+        results.append((lo, hi, arr[:, :lg]))
+    results.sort(key=lambda t: t[0])
+    parts_, pos = [], 0
+    for lo, hi, arr in results:
+        assert lo == pos, (lo, pos)
+        parts_.append(arr)
+        pos = hi
+    if pos < W0:
+        parts_.append(jnp.zeros((RAFF, W0 - pos), jnp.uint32))
+    acc_sorted = jnp.concatenate(parts_, axis=1)
+    return acc_sorted, inv_order.astype(jnp.int32)
+
+
 def msm3_start_chunked(ops: CurveOps, points, scalar_limbs,
                        c: int | None = None, mode: str | None = None,
                        fold: str | None = None, chunk: int = 1 << 20,
                        verbose: bool = False) -> Msm3Pending:
     """MSM over n > chunk bases as a sequence of chunk-sized pipeline
-    dispatches whose window totals accumulate ON DEVICE.
+    dispatches accumulating ON DEVICE.
 
     Bounds the pipeline working set (schedule/fenc/gather arrays are
     O(chunk), not O(n)) the way the reference streams bases through
     ``Source::next/skip`` (/root/reference/src/multiexp.rs:26-86) —
-    the 2^24 single-chip path. Every chunk shares (c, nw), so the
-    per-chunk U tensors combine by plane-wise Jacobian addition; equal
-    chunk sizes make the pipeline shapes coincide across chunks (up to
-    occupancy-group quantization), so compiles amortize across chunks.
+    the 2^24 single-chip path. Every chunk shares (c, nw) and equal
+    chunk sizes make the pipeline shapes coincide across chunks, so
+    compiles amortize.
+
+    Accumulation (affine fold family, the default): each chunk's
+    per-lane bucket sums stay AFFINE, are un-permuted to the dense
+    (window, bucket) order, and combine into a running (RAFF, W0)
+    accumulator with ONE batch-affine fold level per chunk — the O(W0)
+    window-totals pass then runs ONCE at the end instead of once per
+    chunk (round-4's per-chunk totals were ~2*W0 Jacobian adds each,
+    the dominant per-chunk overhead). Chunks whose occupancy needs the
+    heavy path (bucket > CHUNK_SLOTS/TILE points, e.g. adversarial
+    same-scalar floods) fall back to the legacy per-chunk totals flow;
+    both accumulators merge at the end via the plane-wise combine.
 
     ``points``: PackedBases (sliced per chunk, zero-copy views) or a
     sequence of per-chunk PackedBases for host-streamed uploads."""
@@ -899,34 +1029,81 @@ def msm3_start_chunked(ops: CurveOps, points, scalar_limbs,
         assert off == n, (off, n)
     if mode is None:
         mode = msm2.default_mode()
+    if fold is None:
+        fold = default_fold() if mode == "pallas" else "jacobian"
+    use_dense = mode == "pallas" and fold == "affine"
+    totals_kind = default_totals() if c >= 4 else "bits"
     # Chunks run in WAVES: within a wave, every chunk's schedule +
     # occupancy counts dispatch before any fold work, so the per-chunk
     # blocking device_get of the counts finds ready data instead of
     # serializing chunk k+1's schedule behind chunk k's folds (round 4:
     # 2^22 ran at 0.60x the 2^20 rate fully serialized). The wave size
-    # bounds enqueued-but-unconsumed fold outputs — per chunk the
-    # occupancy-sorted accumulator is (RJ, W0) u32 ≈ 400 MB at c=16,
-    # and a fully-async 16-chunk queue exhausted the 16 GB HBM
-    # (logs/bench_r4_run5.err RESOURCE_EXHAUSTED).
+    # is the in-library backpressure bound (the reference's 4x-threads
+    # spawn cap, /root/reference/src/multicore.rs:14-18): each enqueued
+    # chunk holds its gather/fold scratch from dispatch time, and a
+    # fully-async 16-chunk queue exhausted the 16 GB HBM (r4 run 5).
     wave = int(__import__("os").environ.get(
-        "BELLMAN_TPU_MSM_CHUNK_WAVE", "4"
+        "BELLMAN_TPU_MSM_CHUNK_WAVE", "2"
     ))
     L = int(scalar_limbs.shape[0])
     nw = num_windows(L, c)
     half = 1 << (c - 1)
     W0 = nw * half
-    levels = msm2._width_levels(W0)
-    pend = None
+    heavy_cap_limit = CHUNK_SLOTS // TILE
+    pend = None          # legacy U-plane accumulator (heavy chunks)
+    dense = None         # (RAFF, W0) dense affine accumulator
+    exps = totals_exps(c, totals_kind)
+
+    def _pad_part(pb, sl_k):
+        """Pad a short trailing chunk to the uniform chunk size with
+        zero scalars (digit-free, occupancy 0 — inert) so every chunk
+        reuses the SAME pipeline shapes (the h query is 2^k - 1 points,
+        prover.rs:239-241 — an exact-size last chunk would compile a
+        whole fresh shape family)."""
+        pad = chunk - pb.n
+        packed = jnp.concatenate(
+            [pb.packed,
+             jnp.broadcast_to(pb.packed[:, :1],
+                              (pb.packed.shape[0], pad))], axis=1)
+        inf = jnp.concatenate([pb.inf_mask, jnp.zeros((pad,), bool)])
+        sl_p = jnp.concatenate(
+            [sl_k, jnp.zeros((sl_k.shape[0], pad), sl_k.dtype)], axis=1)
+        return PackedBases(None, None, _packed=packed, _inf=inf), sl_p
+
     for w0 in range(0, len(parts), wave):
         scheds = []
         for off, pb in parts[w0 : w0 + wave]:
             sl_k = scalar_limbs[:, off : off + pb.n]
-            fenc, starts, occ, lane_order, _probe = msm2._schedule(
-                L, c, nw, half, W0, len(levels), sl_k, pb.inf_mask
+            if len(parts) > 1 and pb.n < chunk:
+                pb, sl_k = _pad_part(pb, sl_k)
+            fenc, starts, occ, lane_order, inv_order = msm2._schedule(
+                L, c, nw, half, sl_k, pb.inf_mask
             )
-            scheds.append((sl_k, pb, (fenc, starts, occ, lane_order,
-                                      _occ_counts(occ, MAX_LOG_CAP))))
+            scheds.append((sl_k, pb,
+                           (fenc, starts, occ, lane_order, inv_order,
+                            _occ_counts(occ, MAX_LOG_CAP))))
         for sl_k, pb, sched in scheds:
+            counts = np.asarray(jax.device_get(sched[-1]))
+            groups = _plan_groups(counts)
+            heavy = any(cap > heavy_cap_limit for cap, _, _ in groups)
+            if use_dense and not heavy:
+                acc_sorted, inv32 = _chunk_dense_aff(
+                    ops, c, nw, half, W0, mode, fold, sched, pb, groups,
+                    (lambda m: None) if not verbose else print,
+                )
+                if dense is None:
+                    exe = _dense_exec_cached(
+                        "dense_first", _dense_first, (ops,),
+                        (acc_sorted, inv32),
+                    )
+                    dense = exe(acc_sorted, inv32)
+                else:
+                    exe = _dense_exec_cached(
+                        "dense_combine", _dense_combine, (ops, False),
+                        (dense, acc_sorted, inv32),
+                    )
+                    dense = exe(dense, acc_sorted, inv32)
+                continue
             p = _msm3_run(ops, pb, sl_k, c, mode, "pending", verbose,
                           fold, _sched=sched)
             if pend is None:
@@ -937,6 +1114,21 @@ def msm3_start_chunked(ops: CurveOps, points, scalar_limbs,
                     _combine_totals(ops, pend.U, p.U), pend.nw, pend.c,
                     pend.exps,
                 )
+    if dense is not None:
+        exe = _dense_exec_cached(
+            "totals_dense", _totals_from_dense,
+            (ops, nw, half, c, mode, totals_kind), (dense,),
+        )
+        U = exe(dense)
+        p = Msm3Pending(U, nw, c, exps)
+        if pend is None:
+            pend = p
+        else:
+            assert (p.nw, p.c, p.exps) == (pend.nw, pend.c, pend.exps)
+            pend = Msm3Pending(
+                _combine_totals(ops, pend.U, p.U), pend.nw, pend.c,
+                pend.exps,
+            )
     return pend
 
 
@@ -950,18 +1142,68 @@ def msm3_chunked(ops: CurveOps, points, scalar_limbs, point_cls,
     return msm3_finish(ops, pend, point_cls)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _horner_planes(ops: CurveOps, exps: tuple, U):
+    """Device Horner over the K weight planes at full lane width:
+    (RJ, K, nl) -> (RJ, nl) with out = sum_j 2^exps[j] * U[:, j].
+
+    One dispatch instead of the old host loop (which converted K*nw
+    points and did the Horner in Python bigints — ~150 ms constant per
+    MSM, dominant at small n). The main ladder is a lax.scan whose body
+    (one double + one add) traces ONCE, so the graph stays small enough
+    to compile quickly; only duplicate-exponent plane merges unroll
+    (exactly one for the hier totals)."""
+    from . import curve as _curve
+
+    RJ, K, nl = U.shape
+    emax = max(exps)
+    planes: list = [None] * (emax + 1)
+    for j, e in enumerate(exps):
+        pj = U[:, j]
+        if planes[e] is None:
+            planes[e] = pj
+        else:
+            planes[e] = _curve.pack_jac(ops, ops.add(
+                _curve.unpack_jac(ops, planes[e]),
+                _curve.unpack_jac(ops, pj)))
+    ident = jnp.zeros((RJ, nl), jnp.uint32)           # Z = 0 identity
+    P = jnp.stack([p if p is not None else ident
+                   for p in reversed(planes)])        # e = emax first
+
+    def body(acc, pe):
+        a = ops.double(_curve.unpack_jac(ops, acc))
+        a = ops.add(a, _curve.unpack_jac(ops, pe))
+        return _curve.pack_jac(ops, a), None
+
+    acc, _ = jax.lax.scan(body, ident, P)
+    return acc
+
+
 def _finish_host(ops: CurveOps, U, nw: int, c: int, point_cls,
                  exps=None):
-    """Host Horner over weight planes + MSB->LSB window fold.
+    """Device Horner over weight planes, then the host MSB->LSB window
+    fold over nw points.
 
     exps[j] is plane j's weight exponent (T_w = sum_j 2^exps[j] *
     U[:, j, w]); None means plane j has weight 2^j (the 'bits' pass)."""
+    from . import pallas_kernels as pk
     from .curve import jacobian_to_host
 
     C = _C(ops)
     K = U.shape[1]
     if exps is None:
         exps = tuple(range(K))
+    exps = tuple(exps)
+    if pk.enabled():
+        T = _dense_exec_cached("horner", _horner_planes, (ops, exps),
+                               (U,))(U)
+        Tw = T[: 3 * C, :nw]                          # (3C, nw)
+        totals = jacobian_to_host(ops, msm2._unpack1(ops, Tw), point_cls)
+        return msm2.fold_host(totals, nw, c, point_cls.identity())
+
+    # CPU path: the host-bigint Horner (XLA-CPU compiles the unrolled
+    # device Horner's ~500 scan chains for minutes; host Python is
+    # instant at these sizes and the CPU path is tests-only)
     by_exp: dict = {}
     for j, e in enumerate(exps):
         by_exp.setdefault(e, []).append(j)

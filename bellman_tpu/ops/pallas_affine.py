@@ -1,26 +1,17 @@
-"""Pallas TPU kernels: batch-affine MSM accumulate rounds.
+"""Shared batch-affine kernel infrastructure for the MSM fold family.
 
-The Jacobian mixed add (ops/pallas_madd.py) costs ~17 field muls per
-lane. With an AFFINE accumulator and a batched inversion the unified
-affine add/double costs ~6 muls plus ~2 for the shared-inverse tree:
+Lazy [0, 2p)-representation field ops (no trailing conditional
+subtraction; zero tests compare against both 0 and p — the CIOS output
+bound 4p²/R + p < 2p keeps the representation stable), the parallel
+Fermat inversion of product-tree roots (K2 of the batched Montgomery
+inversion trick, cf. the reference's batch_normalize,
+/root/reference/groth16/src/generator.rs:293,419-422), the lazy
+elementwise multiply, and the jnp-twin fold-in-half batch inversion.
 
-  round r, lane l:  acc_l += P_(l,r)   via   λ = num / den,
-     den = x2-x1 (add) | 2*y1 (double) | 1 (degenerate lanes)
-     num = y2-y1 (add) | 3*x1^2 (double)
-     x3 = λ² - x1 - x2 ;  y3 = λ(x1-x3) - y1
-
-The divisions are batched Montgomery-trick style with a fold-in-half
-product tree per lane block (K1), one parallel Fermat inversion of the
-block roots (K2, width = #blocks — same wall time as width 1), and the
-down-sweep + point math (K3). All field muls run LAZY (no trailing
-conditional subtraction; values live in [0, 2p), zero tests compare
-against both 0 and p) — the CIOS output bound 4p²/R + p < 2p makes the
-representation stable. See /root/reference/src/multiexp.rs:242-265 for
-the serial scatter this replaces.
-
-Accumulator layout (RAFF, W) u32: rows [0,C) x, [C,2C) y, row 2C a
-nonempty flag. Addend layout matches ops/pallas_madd.py: x, y rows plus
-an aux block (row 0 valid, row 1 sign).
+Consumed by ops/pallas_afold.py (the batch-affine pairwise tree folds
+that accumulate every MSM bucket, ops/msm3.py). The v2 round-scheduled
+accumulate kernels that used to live here (affine_round / ba_tree_up /
+ba_apply) were superseded by the tree folds and removed.
 """
 
 from __future__ import annotations
@@ -36,7 +27,12 @@ from jax.experimental.pallas import tpu as pltpu
 from . import limbs
 from .curve import CurveOps
 from .kernel_ops import _kernel_curve_ops, _C
-from .pallas_madd import TILE, _pad8, rows_add
+
+TILE = 2048
+
+
+def _pad8(r: int) -> int:
+    return -(-r // 8) * 8
 
 
 def rows_aff(ops: CurveOps) -> int:
@@ -185,187 +181,6 @@ def _lazy_ops(ops: CurveOps, p, p2, one):
 
 
 # ---------------------------------------------------------------------------
-# Case analysis shared by K1 and K3
-# ---------------------------------------------------------------------------
-
-
-def _cases(f, x1, y1, nonempty, x2, y2, valid, sign):
-    """Per-lane case masks and the batched denominator.
-
-    Returns (y2s, dx, dy, normal, dbl, cancel, fresh, keep, den)."""
-    y2s = f.select(sign != 0, f.neg(y2), y2)
-    dx = f.sub(x2, x1)
-    dy = f.sub(y2s, y1)
-    eqx = f.is_zero(dx)
-    eqy = f.is_zero(dy)
-    v = valid != 0
-    ne = nonempty != 0
-    normal = v & ne & ~eqx
-    dbl = v & ne & eqx & eqy
-    cancel = v & ne & eqx & ~eqy
-    fresh = v & ~ne            # first point into this lane
-    keep = ~v
-    batch = valid.shape
-    den = f.select(normal, dx, f.select(dbl, f.add(y1, y1), f.one(batch)))
-    return y2s, dx, dy, normal, dbl, cancel, fresh, keep, den
-
-
-def _split_acc(f, C, a, T):
-    cs = f.coeff_shape
-    x1 = a[:C].reshape(cs + (T,))
-    y1 = a[C : 2 * C].reshape(cs + (T,))
-    nonempty = a[2 * C]
-    return x1, y1, nonempty
-
-
-def _split_add(f, C, d, T):
-    cs = f.coeff_shape
-    x2 = d[:C].reshape(cs + (T,))
-    y2 = d[C : 2 * C].reshape(cs + (T,))
-    valid = d[_pad8(2 * C)]
-    sign = d[_pad8(2 * C) + 1]
-    return x2, y2, valid, sign
-
-
-# ---------------------------------------------------------------------------
-# K1: cases + per-block fold product tree
-#
-# Mosaic constraint: every vector op must stay >= 128 lanes wide and all
-# tree-slab offsets 128-aligned (narrower slices produce layouts the
-# compiler cannot concatenate — "result/input offset mismatch"). So the
-# fold-in-half up-sweep stops at the SEMI=128-wide level; the remaining
-# 128 -> 1 product (and the all-but-self products needed for the
-# down-sweep) run as an in-register XOR-butterfly of roll-muls over
-# those 128 lanes.
-# ---------------------------------------------------------------------------
-
-SEMI = TILE // 16          # 128: the narrowest stored tree level
-# stored level widths (lvl1 = TILE//2 is cheap to recompute in K3 and is
-# not stored); per-block slab offsets within the (C, TILE) tree block
-_STORED = [TILE // 4, TILE // 8, SEMI]           # 512, 256, 128
-_O2 = 0
-_O3 = _O2 + _STORED[0]
-_O4 = _O3 + _STORED[1]
-_OAB = _O4 + _STORED[2]    # all-but-self products of the SEMI level
-_OROOT = _OAB + SEMI       # block root, replicated across SEMI lanes
-assert all(o % 128 == 0 for o in (_O2, _O3, _O4, _OAB, _OROOT))
-assert _OROOT + SEMI <= TILE
-
-
-def _semi_butterfly(f, x):
-    """XOR-butterfly over a SEMI-wide vector: returns (root_rep, allbut)
-    where root_rep[i] = prod(x) and allbut[i] = prod_{j != i} x[j].
-
-    allbut[i] = prod_s x_s[i ^ 2^s]: at step s the partner lane holds
-    the product of the whole opposite 2^s-subtree."""
-
-    def partner(v, s):
-        d = 1 << s
-        # masks built in-kernel (Pallas forbids captured constants)
-        ii = jax.lax.broadcasted_iota(jnp.int32, (1, SEMI), 1)
-        bit = ((ii >> s) & 1) != 0
-        bitb = bit.reshape((1,) * (v.ndim - 1) + (SEMI,))
-        return jnp.where(
-            bitb,
-            pltpu.roll(v, d, axis=v.ndim - 1),
-            pltpu.roll(v, SEMI - d, axis=v.ndim - 1),
-        )
-
-    allbut = None
-    cur = x
-    for s in range(7):  # log2(SEMI)
-        p = partner(cur, s)
-        allbut = p if allbut is None else f.mul(allbut, p)
-        cur = f.mul(cur, p)
-    return cur, allbut
-
-
-@functools.partial(jax.jit, static_argnums=(0, 3))
-def ba_tree_up(ops: CurveOps, acc, addend, interpret: bool = False):
-    """Per block: denominator leaves + fold product tree + semi butterfly.
-
-    Returns tree (C, W): per block
-    [lvl2 (T/4) | lvl3 (T/8) | semi (SEMI) | allbut (SEMI) |
-     root_rep (SEMI) | zeros]. lvl1 is recomputed in ba_apply."""
-    spec = ops.f.spec
-    C = _C(ops)
-    RAFF = rows_aff(ops)
-    RD = rows_add(ops)
-    W = acc.shape[-1]
-    nb = W // TILE
-    p_arr = jnp.asarray(spec.p_limbs.reshape(spec.L, 1))
-    p2_arr = jnp.asarray(_raw_limbs(spec, 2 * spec.p))
-    one_arr = jnp.asarray(spec.one_mont.reshape(spec.L, 1))
-
-    def kernel(p_ref, p2_ref, one_ref, acc_ref, add_ref, tree_ref):
-        f = _lazy_ops(ops, p_ref[:], p2_ref[:], one_ref[:])
-        x1, y1, nonempty = _split_acc(f, C, acc_ref[:], TILE)
-        x2, y2, valid, sign = _split_add(f, C, add_ref[:], TILE)
-        _, _, _, _, _, _, _, _, den = _cases(
-            f, x1, y1, nonempty, x2, y2, valid, sign
-        )
-        cs = ops.f.coeff_shape
-
-        def fold(v):
-            w = v.shape[-1] // 2
-            ax = v.ndim - 1
-            return f.mul(
-                jax.lax.slice_in_dim(v, 0, w, axis=ax),
-                jax.lax.slice_in_dim(v, w, 2 * w, axis=ax),
-            )
-
-        lvl1 = fold(den)               # TILE/2, not stored
-        lvl2 = fold(lvl1)
-        tree_ref[:, _O2:_O3] = lvl2.reshape(C, _STORED[0])
-        lvl3 = fold(lvl2)
-        tree_ref[:, _O3:_O4] = lvl3.reshape(C, _STORED[1])
-        semi = fold(lvl3)
-        tree_ref[:, _O4:_OAB] = semi.reshape(C, SEMI)
-        root_rep, allbut = _semi_butterfly(f, semi)
-        tree_ref[:, _OAB:_OROOT] = allbut.reshape(C, SEMI)
-        tree_ref[:, _OROOT:_OROOT + SEMI] = root_rep.reshape(C, SEMI)
-        pad = TILE - (_OROOT + SEMI)
-        if pad:
-            tree_ref[:, _OROOT + SEMI:] = jnp.zeros((C, pad), jnp.uint32)
-
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((C, W), jnp.uint32),
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((spec.L, 1), lambda i: (0, 0)),
-            pl.BlockSpec((spec.L, 1), lambda i: (0, 0)),
-            pl.BlockSpec((spec.L, 1), lambda i: (0, 0)),
-            pl.BlockSpec((RAFF, TILE), lambda i: (0, i)),
-            pl.BlockSpec((RD, TILE), lambda i: (0, i)),
-        ],
-        out_specs=pl.BlockSpec((C, TILE), lambda i: (0, i)),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
-        interpret=interpret,
-    )(p_arr, p2_arr, one_arr, acc, addend)
-
-
-def ba_roots(ops: CurveOps, tree):
-    """Block roots (C, nb) from the packed tree."""
-    C = tree.shape[0]
-    W = tree.shape[-1]
-    nb = W // TILE
-    return tree.reshape(C, nb, TILE)[:, :, _OROOT]
-
-
-def ba_semi_allbut(ops: CurveOps, tree):
-    """All-but-self products of the SEMI level, flattened (C, nb*SEMI)."""
-    C = tree.shape[0]
-    W = tree.shape[-1]
-    nb = W // TILE
-    return tree.reshape(C, nb, TILE)[:, :, _OAB:_OROOT].reshape(
-        C, nb * SEMI
-    )
-
-
-# ---------------------------------------------------------------------------
 # K2: invert the block roots (parallel Fermat; Fq2 via conj/norm)
 # ---------------------------------------------------------------------------
 
@@ -477,125 +292,6 @@ def mul_lazy(ops: CurveOps, a, b, interpret: bool = False):
 
 
 # ---------------------------------------------------------------------------
-# K3: down-sweep + affine point update
-# ---------------------------------------------------------------------------
-
-
-@functools.partial(jax.jit, static_argnums=(0, 5), donate_argnums=(1,))
-def ba_apply(ops: CurveOps, acc, addend, tree, semi_inv,
-             interpret: bool = False):
-    """Down-sweep the SEMI-level inverses through the stored wide levels,
-    then the unified affine add/double with all special cases; writes the
-    new acc. semi_inv: (C, nb*SEMI) inverses of the SEMI-level nodes."""
-    spec = ops.f.spec
-    C = _C(ops)
-    RAFF = rows_aff(ops)
-    RD = rows_add(ops)
-    W = acc.shape[-1]
-    nb = W // TILE
-    p_arr = jnp.asarray(spec.p_limbs.reshape(spec.L, 1))
-    p2_arr = jnp.asarray(_raw_limbs(spec, 2 * spec.p))
-    one_arr = jnp.asarray(spec.one_mont.reshape(spec.L, 1))
-
-    def kernel(p_ref, p2_ref, one_ref, acc_ref, add_ref, tree_ref, si_ref,
-               o_ref):
-        f = _lazy_ops(ops, p_ref[:], p2_ref[:], one_ref[:])
-        cs = ops.f.coeff_shape
-        x1, y1, nonempty = _split_acc(f, C, acc_ref[:], TILE)
-        x2, y2, valid, sign = _split_add(f, C, add_ref[:], TILE)
-        y2s, dx, dy, normal, dbl, cancel, fresh, keep, den = _cases(
-            f, x1, y1, nonempty, x2, y2, valid, sign
-        )
-
-        def fold(v):
-            w = v.shape[-1] // 2
-            ax = v.ndim - 1
-            return f.mul(
-                jax.lax.slice_in_dim(v, 0, w, axis=ax),
-                jax.lax.slice_in_dim(v, w, 2 * w, axis=ax),
-            )
-
-        def down(inv_parent, child):
-            cw = child.shape[-1]
-            ax = child.ndim - 1
-            left = jax.lax.slice_in_dim(child, 0, cw // 2, axis=ax)
-            right = jax.lax.slice_in_dim(child, cw // 2, cw, axis=ax)
-            return jnp.concatenate(
-                [f.mul(inv_parent, right), f.mul(inv_parent, left)],
-                axis=ax,
-            )
-
-        lvl1 = fold(den)  # TILE/2 (not stored by K1)
-        lvl2 = tree_ref[:, _O2:_O3].reshape(cs + (_STORED[0],))
-        lvl3 = tree_ref[:, _O3:_O4].reshape(cs + (_STORED[1],))
-        inv4 = si_ref[:].reshape(cs + (SEMI,))
-        inv3 = down(inv4, lvl3)
-        inv2 = down(inv3, lvl2)
-        inv1 = down(inv2, lvl1)
-        dinv = down(inv1, den)  # (cs, TILE): per-leaf denominator inverse
-
-        xx = f.sqr(x1)
-        three_xx = f.add(f.add(xx, xx), xx)
-        num = f.select(dbl, three_xx, dy)
-        lam = f.mul(num, dinv)
-        x3 = f.sub(f.sub(f.sqr(lam), x1), x2)
-        y3 = f.sub(f.mul(lam, f.sub(x1, x3)), y1)
-
-        active = normal | dbl
-        nx = f.select(active, x3, x1)
-        ny = f.select(active, y3, y1)
-        nx = f.select(fresh, x2, nx)
-        ny = f.select(fresh, y2s, ny)
-        nflag = jnp.where(
-            cancel, jnp.uint32(0),
-            jnp.where(fresh | active, jnp.uint32(1),
-                      (nonempty != 0).astype(jnp.uint32)),
-        )
-        parts = [nx.reshape(C, TILE), ny.reshape(C, TILE), nflag[None]]
-        pad = RAFF - 2 * C - 1
-        if pad:
-            parts.append(jnp.zeros((pad, TILE), jnp.uint32))
-        o_ref[:] = jnp.concatenate(parts, axis=0)
-
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((RAFF, W), jnp.uint32),
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((spec.L, 1), lambda i: (0, 0)),
-            pl.BlockSpec((spec.L, 1), lambda i: (0, 0)),
-            pl.BlockSpec((spec.L, 1), lambda i: (0, 0)),
-            pl.BlockSpec((RAFF, TILE), lambda i: (0, i)),
-            pl.BlockSpec((RD, TILE), lambda i: (0, i)),
-            pl.BlockSpec((C, TILE), lambda i: (0, i)),
-            pl.BlockSpec((C, SEMI), lambda i: (0, i)),
-        ],
-        out_specs=pl.BlockSpec((RAFF, TILE), lambda i: (0, i)),
-        input_output_aliases={3: 0},
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
-        interpret=interpret,
-    )(p_arr, p2_arr, one_arr, acc, addend, tree, semi_inv)
-
-
-def affine_round(ops: CurveOps, acc, addend, interpret: bool = False):
-    """One batch-affine accumulate round:
-    K1 (cases + tree + semi butterfly) -> K2 (Fermat on block roots) ->
-    K2c (semi inverses) -> K3 (down-sweep + point update)."""
-    nb = acc.shape[-1] // TILE
-    tree = ba_tree_up(ops, acc, addend, interpret)
-    roots = ba_roots(ops, tree)
-    invroots = ba_invert_roots(ops, roots, interpret)        # (C, nb)
-    allbut = ba_semi_allbut(ops, tree)                       # (C, nb*SEMI)
-    rep = jnp.broadcast_to(
-        invroots[:, :, None], (invroots.shape[0], nb, SEMI)
-    ).reshape(invroots.shape[0], nb * SEMI)
-    semi_inv = mul_lazy(ops, allbut, rep, interpret)
-    return ba_apply(ops, acc, addend, tree, semi_inv, interpret)
-
-
-# ---------------------------------------------------------------------------
 # jnp twin (CPU tests): same semantics via limbs.batch_inv
 # ---------------------------------------------------------------------------
 
@@ -631,38 +327,3 @@ def tree_batch_inv(f, den):
         inv_r = f.mul(inv_cur, child[..., :w])
         inv_cur = jnp.concatenate([inv_l, inv_r], axis=child.ndim - 1)
     return inv_cur
-
-
-def affine_round_jnp(ops: CurveOps, acc, addend):
-    """Pure-jnp twin of affine_round (canonical representation)."""
-    f = ops.f
-    C = _C(ops)
-    RAFF = rows_aff(ops)
-    W = acc.shape[-1]
-    x1, y1, nonempty = _split_acc(f, C, acc, W)
-    x2, y2, valid, sign = _split_add(f, C, addend, W)
-    y2s, dx, dy, normal, dbl, cancel, fresh, keep, den = _cases(
-        f, x1, y1, nonempty, x2, y2, valid, sign
-    )
-    dinv = tree_batch_inv(f, den)
-    xx = f.sqr(x1)
-    three_xx = f.add(f.add(xx, xx), xx)
-    num = f.select(dbl, three_xx, dy)
-    lam = f.mul(num, dinv)
-    x3 = f.sub(f.sub(f.sqr(lam), x1), x2)
-    y3 = f.sub(f.mul(lam, f.sub(x1, x3)), y1)
-    active = normal | dbl
-    nx = f.select(active, x3, x1)
-    ny = f.select(active, y3, y1)
-    nx = f.select(fresh, x2, nx)
-    ny = f.select(fresh, y2s, ny)
-    nflag = jnp.where(
-        cancel, jnp.uint32(0),
-        jnp.where(fresh | active, jnp.uint32(1),
-                  (nonempty != 0).astype(jnp.uint32)),
-    )
-    parts = [nx.reshape(C, W), ny.reshape(C, W), nflag[None]]
-    pad = RAFF - 2 * C - 1
-    if pad:
-        parts.append(jnp.zeros((pad, W), jnp.uint32))
-    return jnp.concatenate(parts, axis=0)

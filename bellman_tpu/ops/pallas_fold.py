@@ -1,6 +1,6 @@
 """Pallas TPU kernels: pairwise tree-fold point reduction for msm3.
 
-The msm2 accumulate rounds (ops/pallas_madd.py, ops/pallas_affine.py)
+The retired v2 accumulate rounds (round-scheduled mixed adds)
 pay one random point-gather per round — measured at ~60 M indices/s on
 this chip, that gather IS the MSM runtime. msm3 gathers every point
 exactly once into an occupancy-grouped rank-major layout and then

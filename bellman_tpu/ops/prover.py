@@ -68,8 +68,20 @@ class BlsBackend:
         )
 
     def msm_g2(self, bases_dev, exp_limbs):
+        # G2 runs the XLA-only jnp pipeline graph by default: the Fq2
+        # Pallas fold kernels wedge the Mosaic compile service at group
+        # shapes (r5 probe: >40 min, no completion; the tiny-shape
+        # variant hard-aborts — r4 logs/prover_bench_20e.err). The jnp
+        # graph compiles and runs fine on TPU; G2 is 2 of the 8 MSM
+        # queries, so the VPU-efficiency gap is bounded. Override with
+        # BELLMAN_TPU_MSM_G2_MODE=pallas when the kernels are fixed.
+        import os
+
+        mode = os.environ.get("BELLMAN_TPU_MSM_G2_MODE", "jnp")
+        if mode == "default":
+            mode = None
         ops = curve.g2_ops()
-        pending = msm3.msm3_start(ops, bases_dev, exp_limbs)
+        pending = msm3.msm3_start(ops, bases_dev, exp_limbs, mode=mode)
         return Waiter(
             pending, finish=lambda p: msm3.msm3_finish(ops, p, bls.G2Affine)
         )

@@ -332,19 +332,18 @@ def _sharded_msm_spmd(ops: curve.CurveOps, packed, inf_mask, scalar_limbs,
     fold = ("jacobian" if mode != "pallas"
             else msm3.default_fold())
     totals_kind = msm3.default_totals() if c >= 4 else "bits"
-    levels = msm2._width_levels(W0)
 
     def body(pk, inf, sl):
-        fenc_sorted, starts_s, occ_s, lane_order, _ = msm2._schedule(
-            L, c, nw, half, W0, len(levels), sl, inf
+        fenc_sorted, starts_s, occ_s, lane_order, inv_order = msm2._schedule(
+            L, c, nw, half, sl, inf
         )
         acc = msm3._group_pipeline(
-            ops, cap, W0, mode, fold, jnp.uint32(0), jnp.uint32(W0),
-            starts_s, occ_s, fenc_sorted, pk
+            ops, cap, W0, mode, fold, False, jnp.uint32(0),
+            jnp.uint32(W0), starts_s, occ_s, fenc_sorted, pk
         )[:, :W0]
         fn = (msm3._totals_hier if totals_kind == "hier"
               else msm3._totals_bits)
-        U = fn(ops, nw, half, c, mode, acc, lane_order)
+        U = fn(ops, nw, half, c, mode, acc, inv_order)
         return U[None]  # (1, RJ, c, 128) -> stacked over shards
 
     fn = jax.jit(shard_map(

@@ -68,11 +68,9 @@ def main():
     sl = jnp.asarray(sl_np)
     jax.block_until_ready(packed.packed)
 
-    levels = msm2._width_levels(W0)
-
     t0 = time.time()
     sched_l = msm2._schedule.lower(
-        L, c, nw, half, W0, len(levels), sl, packed.inf_mask
+        L, c, nw, half, sl, packed.inf_mask
     )
     emit("schedule.lower", time.time() - t0)
     t0 = time.time()

@@ -1,4 +1,4 @@
-"""msm2 (round-scheduled, batch-affine) throughput on the chip.
+"""msm3 (tree-fold pipeline) throughput on the chip.
 
 Usage: python benches/msm2_bench.py [--sizes 18,20] [--c 16] [--g2]
 """
@@ -19,7 +19,6 @@ def main():
     ap.add_argument("--c", type=int, default=16)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--g2", action="store_true")
-    ap.add_argument("--v3", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -68,7 +67,7 @@ def main():
         print(f"[{name} 2^{size_log}] packed in {pack_s:.1f}s", flush=True)
 
         t0 = time.time()
-        fn = msm3.msm3 if args.v3 else msm2.msm2
+        fn = msm3.msm3
         r = fn(ops, packed, sl, c=args.c, point_cls=cls, verbose=True)
         compile_s = time.time() - t0
         print(f"[{name} 2^{size_log}] first call {compile_s:.1f}s",
@@ -82,7 +81,7 @@ def main():
               flush=True)
         fn(ops, packed, sl, c=args.c, point_cls=cls, verbose=True)
         print(
-            f"{name} {'msm3' if args.v3 else 'msm2'} 2^{size_log} c={args.c}: {dt*1e3:9.1f} ms  "
+            f"{name} msm3 2^{size_log} c={args.c}: {dt*1e3:9.1f} ms  "
             f"{n/dt/1e6:7.3f} M points/s  "
             f"(first call {compile_s:.0f}s, pack {pack_s:.1f}s)",
             flush=True,

@@ -76,8 +76,6 @@ def main():
     msm3.msm3(ops, packed, sl, c=c, point_cls=bls.G1Affine)
     emit("first_in_process", time.time() - t0)
 
-    levels = msm2._width_levels(W0)
-
     def timeit(label, fn, sync, **kw):
         fn(); sync()  # shape/dispatch warm-up
         t0 = time.time()
@@ -89,15 +87,14 @@ def main():
 
     # -- schedule ----------------------------------------------------------
     def run_sched():
-        return msm2._schedule(L, c, nw, half, W0, len(levels), sl,
-                              packed.inf_mask)
+        return msm2._schedule(L, c, nw, half, sl, packed.inf_mask)
 
-    fenc, starts, occ, lane_order, _probe = timeit(
+    fenc, starts, occ, lane_order, inv_order = timeit(
         "schedule", run_sched,
         lambda: jax.device_get(occ[:4]) if isinstance(occ, jnp.ndarray)
         else None,
     )
-    fenc, starts, occ, lane_order, _probe = run_sched()
+    fenc, starts, occ, lane_order, inv_order = run_sched()
 
     t0 = time.time()
     counts = np.asarray(jax.device_get(msm3._occ_counts(occ,
@@ -139,7 +136,7 @@ def main():
     RJ = rows_jac(ops)
     acc_sorted = jnp.zeros((RJ, W0), jnp.uint32)
     tot_exe = msm3._totals_exec(ops, nw, half, c, mode, kind)
-    lo32 = lane_order.astype(jnp.int32)
+    lo32 = inv_order.astype(jnp.int32)
     tout = [None]
 
     def run_tot():

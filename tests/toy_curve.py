@@ -1,7 +1,7 @@
 """Tiny short-Weierstrass curve for kernel parity tests.
 
 The Pallas point kernels (ops/pallas_fold.py, ops/pallas_affine.py,
-ops/pallas_madd.py) are generic over the limb spec and curve ops; their
+ops/pallas_afold.py) are generic over the limb spec and curve ops; their
 interpret-mode parity tests only exercise layouts, masks, rolls and the
 case analysis — none of which depend on the field size. Running them on
 BLS12-381 Fq (w=13, L=32) traces ~10^3 u32 ops per field multiply into

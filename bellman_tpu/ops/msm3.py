@@ -1017,8 +1017,11 @@ def msm3_start_chunked(ops: CurveOps, points, scalar_limbs,
         c = msm2.default_c(n)  # window size follows FULL n, not chunk
     if isinstance(points, PackedBases):
         assert points.n == n, (points.n, n)
+        # slices are materialized LAZILY per wave (each device slice is
+        # an eager XLA copy; 64 upfront slices at 2^24 held 2 GiB of
+        # HBM for the whole MSM — r5 run-2 OOM)
         parts = [
-            (off, points.slice(off, min(off + chunk, n)))
+            (off, None)
             for off in range(0, n, chunk)
         ]
     else:
@@ -1033,6 +1036,10 @@ def msm3_start_chunked(ops: CurveOps, points, scalar_limbs,
         fold = default_fold() if mode == "pallas" else "jacobian"
     use_dense = mode == "pallas" and fold == "affine"
     totals_kind = default_totals() if c >= 4 else "bits"
+    L = int(scalar_limbs.shape[0])
+    nw = num_windows(L, c)
+    half = 1 << (c - 1)
+    W0 = nw * half
     # Chunks run in WAVES: within a wave, every chunk's schedule +
     # occupancy counts dispatch before any fold work, so the per-chunk
     # blocking device_get of the counts finds ready data instead of
@@ -1040,15 +1047,31 @@ def msm3_start_chunked(ops: CurveOps, points, scalar_limbs,
     # 2^22 ran at 0.60x the 2^20 rate fully serialized). The wave size
     # is the in-library backpressure bound (the reference's 4x-threads
     # spawn cap, /root/reference/src/multicore.rs:14-18): each enqueued
-    # chunk holds its gather/fold scratch from dispatch time, and a
-    # fully-async 16-chunk queue exhausted the 16 GB HBM (r4 run 5).
-    wave = int(__import__("os").environ.get(
-        "BELLMAN_TPU_MSM_CHUNK_WAVE", "2"
-    ))
-    L = int(scalar_limbs.shape[0])
-    nw = num_windows(L, c)
-    half = 1 << (c - 1)
-    W0 = nw * half
+    # chunk holds its gather/fold scratch from dispatch time — a
+    # fully-async 16-chunk queue exhausted the 16 GB HBM (r4 run 5),
+    # and wave=2 at n=2^24 did too (r5 run 1: 3 GiB resident inputs +
+    # two ~4.3 GiB chunk transients). Auto-size against the HBM
+    # envelope: per-chunk transient ~= nw*chunk slots, <=2x rank
+    # padding, x2 packed->limb unpack, x2 live fold/inversion
+    # temporaries, x packed rows x 4 B.
+    import os as _os
+
+    _wave_env = _os.environ.get("BELLMAN_TPU_MSM_CHUNK_WAVE", "")
+    rows_packed = int(
+        (points if isinstance(points, PackedBases) else parts[0][1])
+        .packed.shape[0]
+    )
+    if _wave_env:
+        wave = max(1, int(_wave_env))
+    else:
+        budget_b = float(_os.environ.get(
+            "BELLMAN_TPU_HBM_BUDGET_GB", "10")) * 2**30
+        resident_b = (
+            n * rows_packed * 4          # full packed bases
+            + n * L * 4                  # scalar limbs
+        )
+        per_chunk_b = nw * chunk * 2 * 2 * 2 * rows_packed * 4
+        wave = max(1, min(4, int((budget_b - resident_b) // per_chunk_b)))
     heavy_cap_limit = CHUNK_SLOTS // TILE
     pend = None          # legacy U-plane accumulator (heavy chunks)
     dense = None         # (RAFF, W0) dense affine accumulator
@@ -1073,6 +1096,8 @@ def msm3_start_chunked(ops: CurveOps, points, scalar_limbs,
     for w0 in range(0, len(parts), wave):
         scheds = []
         for off, pb in parts[w0 : w0 + wave]:
+            if pb is None:
+                pb = points.slice(off, min(off + chunk, n))
             sl_k = scalar_limbs[:, off : off + pb.n]
             if len(parts) > 1 and pb.n < chunk:
                 pb, sl_k = _pad_part(pb, sl_k)

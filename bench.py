@@ -137,6 +137,15 @@ def main():
         top = words[15] % jnp.uint32(rtop)
         return words.at[15].set(top)
 
+    def hbm_stats():
+        """(bytes_in_use, peak_bytes_in_use) if the backend exposes
+        allocator stats through the tunnel, else None."""
+        try:
+            s = jax.devices()[0].memory_stats()
+            return s.get("bytes_in_use"), s.get("peak_bytes_in_use")
+        except Exception:  # noqa: BLE001 — optional diagnostics only
+            return None
+
     def run_msm(packed, sl, n_log):
         if n_log > chunk_log:
             return msm3.msm3_chunked(
@@ -156,13 +165,17 @@ def main():
         n = 1 << size_log
         pps = n / dt
         frac = (profiling.ops_msm_g1(n, c) / peak) / dt
+        mem = hbm_stats()
         log(f"G1 MSM{tag} 2^{size_log} c={c}: {dt*1e3:.1f} ms/iter "
             f"x{n_it} ({pps/1e6:.3f} M points/s; roofline "
-            f"{frac*100:.2f}%; first-call {first_s:.1f}s)")
+            f"{frac*100:.2f}%; first-call {first_s:.1f}s"
+            + (f"; hbm {mem[0]/2**30:.2f}/{mem[1]/2**30:.2f} GiB"
+               if mem else "") + ")")
         return pps, frac, first_s
 
     best = None
-    for size_log in sorted(stages, reverse=True):
+    asc = os.environ.get("BENCH_MSM_ORDER", "desc") == "asc"
+    for size_log in sorted(stages, reverse=not asc):
         if best is not None and elapsed() > budget * 0.85:
             log(f"budget: skipping 2^{size_log} "
                 f"(elapsed {elapsed():.0f}s of {budget:.0f}s)")
@@ -180,6 +193,15 @@ def main():
                 + traceback.format_exc())
             if best is not None:
                 best["failed_stage"] = f"2^{size_log}: {type(e).__name__}"
+            # drop the failed stage's device arrays BEFORE the next
+            # stage allocates — r5 run 1: a 2^24 OOM left 3 GiB of
+            # inputs (and the enqueued chunk scratch) alive, and every
+            # later stage died instantly on the exhausted chip
+            import gc
+
+            packed = sl = None  # noqa: F841
+            gc.collect()
+            time.sleep(3.0)  # let the async queue drain its error state
             continue
         rec = {
             "metric": f"g1_msm_2e{size_log}_points_per_s",
@@ -242,32 +264,36 @@ def _bench_fft(do_fft, best, budget, iters, peak, stages, spec):
 
     if not (do_fft and best is not None and elapsed() < budget * 0.95):
         return
-    fft_log = min(max(stages), 20)
-    m = 1 << fft_log
-    plan = fft.get_plan(spec, bls.Fr, fft_log)
-    a = jnp.asarray(
-        np.ones((spec.L, m), np.uint32)
-    )
-    f = plan.fft
 
-    def run_fft():
-        out = f(a)
-        jax.device_get(jax.tree.leaves(out)[0].ravel()[:4])
+    def one_fft(fft_log):
+        m = 1 << fft_log
+        plan = fft.get_plan(spec, bls.Fr, fft_log)
+        a = jnp.asarray(np.ones((spec.L, m), np.uint32))
+        f = plan.fft
 
-    t0 = time.time()
-    run_fft()
-    fft_first = time.time() - t0
-    t0 = time.time()
-    for _ in range(iters):
+        def run_fft():
+            out = f(a)
+            jax.device_get(jax.tree.leaves(out)[0].ravel()[:4])
+
+        t0 = time.time()
         run_fft()
-    fft_dt = (time.time() - t0) / iters
-    fft_frac = (profiling.ops_fft(m) / peak) / fft_dt
-    log(
-        f"Fr FFT 2^{fft_log}: {fft_dt*1e3:.1f} ms "
-        f"({m/fft_dt/1e6:.2f} M coeffs/s; roofline {fft_frac*100:.2f}%; "
-        f"first-call {fft_first:.1f}s)"
-    )
-    best["fft_roofline_frac"] = round(fft_frac, 4)
+        fft_first = time.time() - t0
+        t0 = time.time()
+        for _ in range(iters):
+            run_fft()
+        fft_dt = (time.time() - t0) / iters
+        fft_frac = (profiling.ops_fft(m) / peak) / fft_dt
+        log(
+            f"Fr FFT 2^{fft_log}: {fft_dt*1e3:.1f} ms "
+            f"({m/fft_dt/1e6:.2f} M coeffs/s; roofline "
+            f"{fft_frac*100:.2f}%; first-call {fft_first:.1f}s)"
+        )
+        return fft_frac
+
+    best["fft_roofline_frac"] = round(one_fft(min(max(stages), 20)), 4)
+    # the north-star size (BASELINE.json: 2^24 FFT) when budget allows
+    if max(stages) >= 24 and elapsed() < budget * 0.85:
+        best["fft24_roofline_frac"] = round(one_fft(24), 4)
 
 
 if __name__ == "__main__":

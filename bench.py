@@ -159,8 +159,20 @@ def main():
         first_s = time.time() - t0
         n_it = iters if elapsed() < budget * 0.8 else 1
         t0 = time.time()
-        for _ in range(n_it):
-            run_msm(packed, sl, size_log)
+        if size_log <= chunk_log:
+            # direct path: dispatch every iteration before the first
+            # blocking finish — the axon tunnel's ~0.1-0.15 s sync RTT
+            # otherwise dominates sub-second stages (2^16 read 11% vs
+            # its true kernel rate)
+            pends = [
+                msm3.msm3_start(ops, packed, sl, c=c)
+                for _ in range(n_it)
+            ]
+            for p in pends:
+                msm3.msm3_finish(ops, p, bls.G1Affine)
+        else:
+            for _ in range(n_it):
+                run_msm(packed, sl, size_log)
         dt = (time.time() - t0) / n_it
         n = 1 << size_log
         pps = n / dt
@@ -174,8 +186,22 @@ def main():
         return pps, frac, first_s
 
     best = None
-    asc = os.environ.get("BENCH_MSM_ORDER", "desc") == "asc"
-    for size_log in sorted(stages, reverse=not asc):
+    ladder = {}
+    order_kind = os.environ.get("BENCH_MSM_ORDER", "priority")
+    if order_kind == "asc":
+        order = sorted(stages)
+    elif order_kind == "desc":
+        order = sorted(stages, reverse=True)
+    else:
+        # priority: second-largest first — it banks a strong record
+        # cheaply (its first call absorbs the process-wide artifact/
+        # cache loads), THEN the north-star largest size, then the
+        # rest descending. A budget kill mid-2^24 still leaves 2^22
+        # on the record.
+        order = sorted(stages, reverse=True)
+        if len(order) >= 2:
+            order[0], order[1] = order[1], order[0]
+    for size_log in order:
         if best is not None and elapsed() > budget * 0.85:
             log(f"budget: skipping 2^{size_log} "
                 f"(elapsed {elapsed():.0f}s of {budget:.0f}s)")
@@ -214,9 +240,11 @@ def main():
             "init_s": round(init_s, 1),
         }
         print(json.dumps(rec), flush=True)
+        ladder[str(size_log)] = [round(pps, 1), round(frac, 4)]
         if best is None or size_log > int(
                 best["metric"].split("_2e")[1].split("_")[0]):
             best = rec
+        best["ladder"] = ladder
         del packed, sl
 
     # gather-locality comparison: the friendly tiled 64-point pool at
@@ -271,17 +299,21 @@ def _bench_fft(do_fft, best, budget, iters, peak, stages, spec):
         a = jnp.asarray(np.ones((spec.L, m), np.uint32))
         f = plan.fft
 
-        def run_fft():
-            out = f(a)
+        def run_fft(k=1):
+            # chain k transforms on device, sync ONCE: the tunnel sync
+            # RTT (~0.1-0.15 s) would otherwise swamp a ~50 ms kernel
+            out = a
+            for _ in range(k):
+                out = f(out)
             jax.device_get(jax.tree.leaves(out)[0].ravel()[:4])
 
         t0 = time.time()
         run_fft()
         fft_first = time.time() - t0
+        k = max(iters, 8 if fft_log <= 20 else iters)
         t0 = time.time()
-        for _ in range(iters):
-            run_fft()
-        fft_dt = (time.time() - t0) / iters
+        run_fft(k)
+        fft_dt = (time.time() - t0) / k
         fft_frac = (profiling.ops_fft(m) / peak) / fft_dt
         log(
             f"Fr FFT 2^{fft_log}: {fft_dt*1e3:.1f} ms "

@@ -18,8 +18,11 @@ variant is emitted alongside at the largest size for the gather-
 locality comparison (r4's headline used only the friendly tiled pool —
 VERDICT weak #8). Scalars: uniform device random bits below r.
 
-The ladder runs DESCENDING (default 24 -> 16): the largest size gets
-the budget headroom, and a budget kill costs only the small tail.
+The ladder runs in PRIORITY order (default): second-largest first —
+banking a strong record while absorbing the process-wide artifact
+loads — then the largest size if the remaining budget covers its
+measured cost (2^24 is ~550 s warm: 64 serialized chunk-sync round
+trips through the tunnel), then the rest descending.
 Chunked stages (> BENCH_MSM_CHUNK_LOG) share one set of chunk-shaped
 pipelines, so 2^20/2^22/2^24 pay a single warm-up. A wall-clock budget
 (BENCH_BUDGET_S) is checked between stages; whatever landed is kept.
@@ -202,9 +205,18 @@ def main():
         if len(order) >= 2:
             order[0], order[1] = order[1], order[0]
     for size_log in order:
-        if best is not None and elapsed() > budget * 0.85:
+        # stage cost estimate (measured r5): 2^24 = ~500 s first call
+        # (64 serialized chunk schedule->counts sync round trips through
+        # the tunnel) + ~55 s/iter — it does NOT fit the driver's ~600 s
+        # kill window after contact + one banked stage, and a mid-stage
+        # kill would lose the final record; only attempt it when the
+        # budget has genuine headroom
+        est_s = 600.0 if size_log >= 24 else 0.0
+        if best is not None and (elapsed() > budget * 0.85
+                                 or elapsed() + est_s > budget):
             log(f"budget: skipping 2^{size_log} "
-                f"(elapsed {elapsed():.0f}s of {budget:.0f}s)")
+                f"(elapsed {elapsed():.0f}s of {budget:.0f}s"
+                + (f", est +{est_s:.0f}s" if est_s else "") + ")")
             continue
         n = 1 << size_log
         try:
